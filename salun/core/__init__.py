@@ -1,0 +1,7 @@
+from .mask import (
+    DEFAULT_THRESHOLDS,
+    accumulate_saliency,
+    generate_masks,
+    threshold_mask,
+)
+from .masked_opt import build_optimizer, mask_grads, masked, sgd

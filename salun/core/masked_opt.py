@@ -1,0 +1,127 @@
+"""Saliency-masked optimizers.
+
+SalUn's update rule (reference Classification/unlearn/RL.py:11-34):
+  1. after backward: ``grad *= mask``            (RL.py:11-14)
+  2. optimizer step
+  3. masked-out weights restored to theta0 and their momentum zeroed
+     (RL.py:17-34)
+
+The reference implements this as two Python loops over ``named_parameters``
+per step. Here it is one optax ``GradientTransformation`` wrapper — the mask
+multiply, base-optimizer math, theta0 pinning, and momentum masking all fuse
+into the jitted train step (one elementwise pass over the params, no host
+round-trips).
+
+DDPM/SD apply only the grad mask (DDPM/runners/diffusion.py:589-592,
+SD/train-scripts/random_label.py:132-137) — use ``mask_grads`` alone there.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def mask_grads(mask) -> optax.GradientTransformation:
+    """``grads *= mask`` (mask is a pytree of 0/1 arrays matching params)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(lambda g, m: g * m.astype(g.dtype), updates, mask)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+class MaskedState(NamedTuple):
+    inner: optax.OptState
+
+
+def masked(
+    base: optax.GradientTransformation,
+    mask,
+    theta0,
+) -> optax.GradientTransformation:
+    """Full SalUn masking around ``base``.
+
+    - incoming grads are multiplied by ``mask``;
+    - the base optimizer's momentum-like state is re-masked every step
+      (parity with momentum_buffer zeroing, RL.py:31-34);
+    - the emitted update on masked-out coordinates is exactly
+      ``theta0 - params`` so ``optax.apply_updates`` pins them to theta0
+      (parity with the theta0 restore, RL.py:25-29) regardless of weight
+      decay or momentum leakage inside ``base``.
+    """
+
+    def init(params):
+        return MaskedState(inner=base.init(params))
+
+    def update(updates, state, params):
+        updates = jax.tree.map(lambda g, m: g * m.astype(g.dtype), updates, mask)
+        new_updates, inner = base.update(updates, state.inner, params)
+        # Zero momentum-like accumulators on masked-out coordinates. All
+        # params-shaped leaves of the optimizer state (sgd trace, adam mu/nu)
+        # are masked; step counters etc. are left alone.
+        inner = optax.tree_utils.tree_map_params(
+            base, lambda s, m: s * m.astype(s.dtype), inner, mask
+        )
+        new_updates = jax.tree.map(
+            lambda u, m, p, t0: jnp.where(m > 0, u, t0 - p),
+            new_updates, mask, params, theta0,
+        )
+        return new_updates, MaskedState(inner=inner)
+
+    return optax.GradientTransformation(init, update)
+
+
+def sgd(
+    learning_rate,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics (grad += wd*p; buf = m*buf + grad; p -= lr*buf).
+
+    Parity with the optimizer every classification run uses
+    (Classification/unlearn/impl.py:68-73, main_train.py). Note torch SGD
+    couples weight decay into the momentum buffer — ``optax.sgd`` +
+    ``add_decayed_weights`` ordering below reproduces that exactly.
+    """
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def build_optimizer(
+    learning_rate,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+    mask=None,
+    theta0=None,
+    kind: str = "sgd",
+) -> optax.GradientTransformation:
+    """Optimizer factory used by the unlearning methods.
+
+    ``mask`` given + ``theta0`` given  → full SalUn masked optimizer.
+    ``mask`` given, no ``theta0``      → grad-mask only (DDPM/SD style).
+    """
+    if kind == "sgd":
+        base = sgd(learning_rate, momentum, weight_decay)
+    elif kind == "adam":
+        base = optax.adam(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer kind {kind!r}")
+
+    if mask is None:
+        return base
+    if theta0 is None:
+        return optax.chain(mask_grads(mask), base)
+    return masked(base, mask, theta0)

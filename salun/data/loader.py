@@ -1,0 +1,104 @@
+"""Batch iteration + on-device augmentation.
+
+TPU-first: the host side only shuffles indices and slices uint8 arrays; all
+float conversion and augmentation (random crop w/ pad-4 + horizontal flip —
+the reference's torchvision transforms, Classification/dataset.py:548-554)
+run *inside the jitted train step* from a PRNG key, so the HBM sees one
+uint8 copy per batch and the VPU does the rest. Static batch shapes: the
+final short batch is padded and carries a validity mask (weights) so jit
+never recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .datasets import ArrayDataset
+
+
+class BatchIterator:
+    """Numpy-side epoch iterator with static batch shapes.
+
+    Yields dict batches: ``image`` uint8 NHWC, ``label`` int32,
+    ``weight`` float32 (0 for padding rows of the final batch).
+    """
+
+    def __init__(
+        self,
+        ds: ArrayDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 1,
+        drop_last: bool = False,
+        pad_final: bool = True,
+    ):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.ds)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            img = self.ds.data[idx]
+            lab = self.ds.targets[idx].astype(np.int32)
+            w = np.ones(len(idx), np.float32)
+            if len(idx) < bs and self.pad_final:
+                pad = bs - len(idx)
+                img = np.concatenate([img, np.zeros((pad,) + img.shape[1:], img.dtype)])
+                lab = np.concatenate([lab, np.zeros(pad, np.int32)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            yield {"image": img, "label": lab, "weight": w}
+
+
+def to_float(image_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] → float32 [0,1] (torchvision ToTensor semantics)."""
+    return image_u8.astype(jnp.float32) / 255.0
+
+
+def augment(key: jax.Array, image: jnp.ndarray, pad: int = 4) -> jnp.ndarray:
+    """Per-sample random crop (reflection of RandomCrop(size, padding=pad)
+    with zero padding) + random horizontal flip, fully on device.
+
+    ``image`` is float NHWC. Vectorized: one dynamic_slice per sample via
+    vmap — fuses into a gather, no host work.
+    """
+    b, h, w, c = image.shape
+    kc, kf = jax.random.split(key)
+    # crop offsets in [0, 2*pad]
+    offs = jax.random.randint(kc, (b, 2), 0, 2 * pad + 1)
+    flips = jax.random.bernoulli(kf, 0.5, (b,))
+
+    padded = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    def crop_one(img, off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+
+    cropped = jax.vmap(crop_one)(padded, offs)
+    flipped = jnp.where(flips[:, None, None, None], cropped[:, :, ::-1, :], cropped)
+    return flipped
+
+
+def device_batches(it, sharding: Optional[object] = None):
+    """Move host batches to device (optionally sharded over a mesh axis)."""
+    for batch in it:
+        if sharding is not None:
+            yield jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        else:
+            yield jax.tree.map(jnp.asarray, batch)
