@@ -78,8 +78,23 @@ def make_unlearn_optimizer(
 
 
 def reset_opt_state(state: TrainState, tx) -> TrainState:
-    """Fresh optimizer state for a new unlearning phase."""
-    return state.replace(opt_state=tx.init(state.params), step=jnp.zeros((), jnp.int32))
+    """Fresh optimizer state for a new unlearning phase.
+
+    Deep-copies the param/batch-stat buffers: the jitted steps donate their
+    input state, and donation would otherwise delete the caller's arrays
+    (and any θ₀ aliasing them).
+    """
+    return state.replace(
+        params=jax.tree.map(jnp.copy, state.params),
+        batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+        opt_state=tx.init(state.params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def snapshot_params(state: TrainState):
+    """θ₀ snapshot that survives later donation of the live state."""
+    return jax.tree.map(jnp.copy, state.params)
 
 
 def run_epochs(state, epochs: int, epoch_fn, key):

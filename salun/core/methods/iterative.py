@@ -25,7 +25,9 @@ import numpy as np
 from salun.core.train import TrainState, make_train_step
 from salun.data.loader import BatchIterator
 
-from .common import UnlearnConfig, make_unlearn_optimizer, reset_opt_state
+from .common import (
+    UnlearnConfig, make_unlearn_optimizer, reset_opt_state, snapshot_params,
+)
 
 
 def _relabel_concat_loader(loaders, cfg: UnlearnConfig, epoch: int):
@@ -48,7 +50,7 @@ def RL(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
        key=None):
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     steps_per_epoch = len(loaders["forget"]) + len(loaders["retain"])
-    theta0 = jax.tree.map(lambda x: x, state.params) if mask is not None else None
+    theta0 = snapshot_params(state) if mask is not None else None
     tx = make_unlearn_optimizer(cfg, steps_per_epoch, mask, theta0)
     state = reset_opt_state(state, tx)
 
@@ -80,7 +82,7 @@ def _single_loader_method(loader_name: str, loss_sign: float, with_l1: bool):
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         loader = loaders[loader_name]
         steps_per_epoch = len(loader)
-        theta0 = jax.tree.map(lambda x: x, state.params) if mask is not None else None
+        theta0 = snapshot_params(state) if mask is not None else None
         tx = make_unlearn_optimizer(cfg, steps_per_epoch, mask, theta0)
         state = reset_opt_state(state, tx)
 

@@ -60,9 +60,13 @@ class BatchIterator:
             lab = self.ds.targets[idx].astype(np.int32)
             w = np.ones(len(idx), np.float32)
             if len(idx) < bs and self.pad_final:
+                # Pad by cyclically repeating real samples (weight 0): keeps
+                # the batch statistics sane for BatchNorm while the loss and
+                # metrics ignore the padding rows.
                 pad = bs - len(idx)
-                img = np.concatenate([img, np.zeros((pad,) + img.shape[1:], img.dtype)])
-                lab = np.concatenate([lab, np.zeros(pad, np.int32)])
+                rep = np.resize(np.arange(len(idx)), pad)
+                img = np.concatenate([img, img[rep]])
+                lab = np.concatenate([lab, lab[rep]])
                 w = np.concatenate([w, np.zeros(pad, np.float32)])
             yield {"image": img, "label": lab, "weight": w}
 

@@ -1,0 +1,143 @@
+"""Diffusion samplers: DDIM (generalized) and ancestral DDPM steps.
+
+Parity with DDPM/functions/denoising.py:10-131 — same update equations —
+but TPU-first: the whole reverse chain is a single ``lax.scan`` compiled on
+device. The reference offloads every intermediate x_t to CPU per step
+(denoising.py:31,93); here nothing leaves HBM and the chain is one XLA
+program.
+
+CFG sampling uses the doubled-batch trick from salun.diffusion.unet.cfg_eps
+(one U-Net forward per step instead of two).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import DiffusionSchedule
+from .unet import ConditionalUNet, cfg_eps
+
+
+def _seq_pairs(seq: Sequence[int]):
+    """(t_i, t_{i-1}) pairs walked in reverse, with boundary −1."""
+    seq = list(seq)
+    seq_next = [-1] + seq[:-1]
+    ts = jnp.asarray(list(reversed(seq)), jnp.int32)
+    ts_next = jnp.asarray(list(reversed(seq_next)), jnp.int32)
+    return ts, ts_next
+
+
+def generalized_steps(
+    eps_fn: Callable, x: jnp.ndarray, seq: Sequence[int],
+    schedule: DiffusionSchedule, *, eta: float = 0.0, key=None,
+):
+    """DDIM chain (denoising.py:10-33). ``eps_fn(x, t_batch) -> eps``.
+
+    Returns the final x and the last x0 prediction.
+    """
+    ts, ts_next = _seq_pairs(seq)
+    n = x.shape[0]
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def body(carry, t_pair):
+        xt, k = carry
+        i, j = t_pair
+        t = jnp.full((n,), i, jnp.int32)
+        at = schedule.alpha_bar(jnp.full((n,), i, jnp.int32)).reshape(-1, 1, 1, 1)
+        at_next = schedule.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(-1, 1, 1, 1)
+        et = eps_fn(xt, t.astype(jnp.float32))
+        x0_t = (xt - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+        c1 = eta * jnp.sqrt((1 - at / at_next) * (1 - at_next) / (1 - at))
+        c2 = jnp.sqrt((1 - at_next) - c1**2)
+        k, sub = jax.random.split(k)
+        noise = jax.random.normal(sub, xt.shape, xt.dtype)
+        xt_next = jnp.sqrt(at_next) * x0_t + c1 * noise + c2 * et
+        return (xt_next, k), x0_t
+
+    (x_final, _), x0_preds = jax.lax.scan(body, (x, key),
+                                          jnp.stack([ts, ts_next], axis=1))
+    return x_final, x0_preds[-1]
+
+
+def ddpm_steps(
+    eps_fn: Callable, x: jnp.ndarray, seq: Sequence[int],
+    schedule: DiffusionSchedule, *, key=None,
+):
+    """Ancestral sampling (denoising.py:36-69)."""
+    ts, ts_next = _seq_pairs(seq)
+    n = x.shape[0]
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def body(carry, t_pair):
+        xt, k = carry
+        i, j = t_pair
+        t = jnp.full((n,), i, jnp.int32)
+        at = schedule.alpha_bar(t).reshape(-1, 1, 1, 1)
+        atm1 = schedule.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(-1, 1, 1, 1)
+        beta_t = 1.0 - at / atm1
+        e = eps_fn(xt, t.astype(jnp.float32))
+        x0 = jnp.sqrt(1.0 / at) * xt - jnp.sqrt(1.0 / at - 1.0) * e
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        mean = (
+            jnp.sqrt(atm1) * beta_t * x0
+            + jnp.sqrt(1.0 - beta_t) * (1.0 - atm1) * xt
+        ) / (1.0 - at)
+        k, sub = jax.random.split(k)
+        noise = jax.random.normal(sub, xt.shape, xt.dtype)
+        mask = (t > 0).astype(xt.dtype).reshape(-1, 1, 1, 1)
+        logvar = jnp.log(beta_t)
+        sample = mean + mask * jnp.exp(0.5 * logvar) * noise
+        return (sample, k), x0
+
+    (x_final, _), x0_preds = jax.lax.scan(body, (x, key),
+                                          jnp.stack([ts, ts_next], axis=1))
+    return x_final, x0_preds[-1]
+
+
+def make_conditional_eps_fn(model: ConditionalUNet, variables,
+                            c: jnp.ndarray, cond_scale: float):
+    """eps_fn for class-conditional CFG sampling
+    (denoising.py:72-95 / diffusion.py:340-355)."""
+
+    def eps_fn(x, t):
+        return cfg_eps(model, variables, x, t, c, cond_scale)
+
+    return eps_fn
+
+
+def sample_image(
+    model: ConditionalUNet, variables, schedule: DiffusionSchedule, key,
+    *, batch: int, image_size: int, channels: int, classes: jnp.ndarray,
+    cond_scale: float = 2.0, sample_type: str = "generalized",
+    timesteps: Optional[int] = None, skip_type: str = "uniform",
+    eta: float = 0.0,
+):
+    """Full image sampling pipeline (runners/diffusion.py sample_image):
+    build the timestep subsequence, run the chain, return x in [−1,1]."""
+    T = schedule.num_timesteps
+    timesteps = timesteps or T
+    if skip_type == "uniform":
+        skip = T // timesteps
+        seq = list(range(0, T, skip))
+    elif skip_type == "quad":
+        import numpy as np
+
+        seq = (np.linspace(0, np.sqrt(T * 0.8), timesteps) ** 2).astype(int)
+        seq = list(seq)
+    else:
+        raise NotImplementedError(skip_type)
+
+    key, nk = jax.random.split(key)
+    x = jax.random.normal(nk, (batch, image_size, image_size, channels))
+    eps_fn = make_conditional_eps_fn(model, variables, classes, cond_scale)
+    if sample_type == "generalized":
+        x, _ = generalized_steps(eps_fn, x, seq, schedule, eta=eta, key=key)
+    elif sample_type == "ddpm_noisy":
+        x, _ = ddpm_steps(eps_fn, x, seq, schedule, key=key)
+    else:
+        raise NotImplementedError(sample_type)
+    return x

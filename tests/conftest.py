@@ -11,6 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The container's sitecustomize imports jax with JAX_PLATFORMS=axon before
+# conftest runs, so the env var alone is ignored; force the config instead.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,141 @@
+"""End-to-end SalUn vertical slice on synthetic data (SURVEY.md §7 stage 1).
+
+Mirrors the reference pipeline: pretrain → saliency mask → masked RL
+unlearn → UA/RA/TA + MIA. Uses a small ResNet on learnable synthetic data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salun.core import accumulate_saliency, threshold_mask
+from salun.core.methods import UnlearnConfig, get_unlearn_method
+from salun.core.train import (
+    TrainState, cross_entropy, make_train_step, validate,
+)
+from salun.core import masked_opt
+from salun.data.datasets import synthetic
+from salun.data.loader import BatchIterator, to_float
+from salun.data.splits import forget_retain_split, replace_class, validation_split
+from salun.models import create_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = create_model("resnet20s", num_classes=5)
+    train = synthetic(n=400, num_classes=5, image_size=32, seed=0,
+                      class_signal=0.6)
+    test = synthetic(n=100, num_classes=5, image_size=32, seed=1,
+                     class_signal=0.6)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, 32, 32, 3)), train=False)
+
+    tx = masked_opt.sgd(0.05, 0.9, 5e-4)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, use_augment=False, num_classes=5)
+    loader = BatchIterator(train, 64, shuffle=True, seed=1)
+    for _ in range(6):
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, m = step(state, jax.tree.map(jnp.asarray, batch), sub)
+    return model, state, train, test
+
+
+def _loaders(train, test, cfg):
+    marked = replace_class(train, 0, only_mark=True)
+    forget, retain = forget_retain_split(marked)
+    return {
+        "forget": BatchIterator(forget, cfg.batch_size, seed=cfg.seed),
+        "retain": BatchIterator(retain, cfg.batch_size, seed=cfg.seed),
+        "val": BatchIterator(test, cfg.batch_size, shuffle=False),
+        "test": BatchIterator(test, cfg.batch_size, shuffle=False),
+    }, forget, retain
+
+
+def test_pretrain_learned(setup):
+    model, state, train, test = setup
+    acc = validate(model, state, BatchIterator(train, 64, shuffle=False))
+    assert acc > 70.0, acc
+
+
+def test_salun_rl_unlearns(setup):
+    model, state, train, test = setup
+    cfg = UnlearnConfig(dataset="cifar10", num_classes=5, unlearn_lr=0.01,
+                        unlearn_epochs=3, batch_size=64, decreasing_lr="2",
+                        seed=0, class_to_replace=0)
+    loaders, forget, retain = _loaders(train, test, cfg)
+
+    # saliency mask: grads of -CE over the forget set (generate_mask.py:36)
+    def grad_fn(params, batch):
+        def loss(p):
+            out = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                to_float(batch["image"]), train=False,
+            )
+            return -cross_entropy(out, batch["label"], batch["weight"])
+
+        return jax.grad(loss)(params)
+
+    sal = accumulate_saliency(
+        grad_fn, state.params,
+        (jax.tree.map(jnp.asarray, b) for b in loaders["forget"]),
+    )
+    mask = threshold_mask(sal, 0.5)
+    sizes = [float(m.sum()) for m in jax.tree.leaves(mask)]
+    total = sum(int(m.size) for m in jax.tree.leaves(mask))
+    assert abs(sum(sizes) - int(total * 0.5)) < 1
+
+    before_forget = validate(model, state, loaders["forget"])
+    rl = get_unlearn_method("RL")
+    new_state = rl(loaders, model, state, cfg, mask=mask,
+                   key=jax.random.PRNGKey(3))
+
+    after_forget = validate(model, new_state, loaders["forget"])
+    after_retain = validate(model, new_state, loaders["retain"])
+    # forget accuracy must drop substantially; retain must stay usable
+    assert after_forget < before_forget - 20, (before_forget, after_forget)
+    assert after_retain > 55.0, after_retain
+
+    # masked-out coords stayed exactly at theta0
+    moved = jax.tree.map(
+        lambda p0, p1, m: np.asarray((p0 != p1) & (m == 0)).sum(),
+        state.params, new_state.params, mask,
+    )
+    assert sum(jax.tree.leaves(moved)) == 0
+
+
+@pytest.mark.parametrize("name", ["GA", "FT", "wfisher", "fisher"])
+def test_other_methods_run(setup, name):
+    model, state, train, test = setup
+    cfg = UnlearnConfig(dataset="cifar10", num_classes=5, unlearn_lr=0.01,
+                        unlearn_epochs=1, batch_size=64, decreasing_lr="2",
+                        alpha=0.02, seed=0)
+    loaders, _, _ = _loaders(train, test, cfg)
+    method = get_unlearn_method(name)
+    out = method(loaders, model, state, cfg, key=jax.random.PRNGKey(1))
+    assert out is not None
+    # params actually changed
+    diff = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(out.params))
+    )
+    assert diff > 0
+
+
+def test_svc_mia_runs(setup):
+    from salun.evalx import SVC_MIA
+
+    model, state, train, test = setup
+    cfg = UnlearnConfig(num_classes=5, batch_size=64)
+    loaders, forget, retain = _loaders(train, test, cfg)
+    res = SVC_MIA(
+        model, state.params, state.batch_stats,
+        shadow_train=BatchIterator(retain.select(np.arange(min(len(test), len(retain)))), 64, shuffle=False),
+        shadow_test=loaders["test"],
+        target_train=None,
+        target_test=loaders["forget"],
+    )
+    assert set(res) == {"correctness", "confidence", "entropy", "m_entropy", "prob"}
+    for v in res.values():
+        assert 0.0 <= v <= 1.0
