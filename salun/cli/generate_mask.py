@@ -1,0 +1,84 @@
+"""Saliency-mask generation driver
+(parity: Classification/generate_mask.py:85-202).
+
+Loads the pretrained model, iterates the forget loader accumulating grads
+of −CE, thresholds at 0.1…1.0, and saves ``with_{t}`` masks (orbax/npz +
+torch-compatible name dict via salun.ckpt.export_mask).
+
+Usage: python -m salun.cli.generate_mask --dataset cifar10 --model_path ...
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salun import ckpt
+from salun.cli.args import parse_args
+from salun.cli.setup import build_unlearn_loaders, setup_model_dataset
+from salun.core import accumulate_saliency, generate_masks
+from salun.core.mask import DEFAULT_THRESHOLDS
+from salun.core.train import TrainState, cross_entropy
+from salun.data.loader import to_float
+from salun.utils.rng import seed_all
+
+
+def save_gradient_ratio(loaders, model, params, batch_stats, args):
+    forget_loader = loaders["forget"]
+
+    def grad_fn(params, batch):
+        def loss(p):
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, to_float(batch["image"]), train=False)
+            # loss = −CE (generate_mask.py:36)
+            return -cross_entropy(out, batch["label"], batch.get("weight"))
+
+        return jax.grad(loss)(params)
+
+    sal = accumulate_saliency(
+        grad_fn, params,
+        (jax.tree.map(jnp.asarray, b) for b in forget_loader),
+    )
+    masks = generate_masks(sal, DEFAULT_THRESHOLDS)
+    for t, m in masks.items():
+        ckpt.save(os.path.join(args.save_dir, f"with_{t}"), {"mask": m})
+    return masks
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+    seed_all(args.seed)
+
+    model, train, val, test, marked = setup_model_dataset(args)
+    loaders, forget, retain = build_unlearn_loaders(args, train, val, test,
+                                                    marked)
+    print(f"number of retain dataset {len(retain)}")
+    print(f"number of forget dataset {len(forget)}")
+
+    key = jax.random.PRNGKey(args.seed)
+    size = 224 if args.imagenet_arch else 32
+    variables = model.init(key, jnp.zeros((1, size, size, 3)), train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if args.model_path:
+        params, batch_stats = _load_model(args.model_path, params, batch_stats)
+
+    save_gradient_ratio(loaders, model, params, batch_stats, args)
+
+
+def _load_model(path, params, batch_stats):
+    if path.endswith(".pt") or path.endswith(".pth") or path.endswith(".pth.tar"):
+        from salun.ckpt import import_resnet
+
+        return import_resnet(path)
+    payload = ckpt.restore(path)
+    return payload["params"], payload.get("batch_stats", batch_stats)
+
+
+if __name__ == "__main__":
+    main()

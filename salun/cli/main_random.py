@@ -1,0 +1,128 @@
+"""SalUn unlearning driver — masked methods
+(parity: Classification/main_random.py:15-188).
+
+Loads θ and the saliency mask, dispatches the unlearn method WITH the mask,
+then evaluates UA/RA/TA and SVC-MIA forget efficacy
+(main_random.py:139-186). ``main_forget`` (baselines, no mask) shares this
+implementation with mask=None (main_forget.py:15-183).
+
+Usage: python -m salun.cli.main_random --unlearn RL --mask_path ... \
+           --model_path ... --unlearn_lr 0.013 --unlearn_epochs 10
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salun import ckpt
+from salun.cli.args import parse_args
+from salun.cli.setup import build_unlearn_loaders, setup_model_dataset
+from salun.core import masked_opt
+from salun.core.methods import UnlearnConfig, get_unlearn_method
+from salun.core.train import TrainState, validate
+from salun.data.loader import BatchIterator
+from salun.evalx import SVC_MIA
+from salun.utils.rng import seed_all
+
+
+def run(argv=None, use_mask=True):
+    args = parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+    seed_all(args.seed)
+    key = jax.random.PRNGKey(args.train_seed)
+
+    model, train, val, test, marked = setup_model_dataset(args)
+    loaders, forget, retain = build_unlearn_loaders(args, train, val, test,
+                                                    marked)
+    print(f"number of retain dataset {len(retain)}")
+    print(f"number of forget dataset {len(forget)}")
+
+    size = 224 if args.imagenet_arch else 32
+    variables = model.init(key, jnp.zeros((1, size, size, 3)), train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if args.model_path and args.unlearn != "retrain":
+        params, batch_stats = _load_model(args.model_path, params, batch_stats)
+
+    mask = None
+    if use_mask and args.mask_path:
+        mask = _load_mask(args.mask_path, params)
+
+    cfg = UnlearnConfig(
+        dataset=args.dataset, num_classes=args.num_classes, arch=args.arch,
+        imagenet_arch=args.imagenet_arch, unlearn_lr=args.unlearn_lr,
+        unlearn_epochs=args.unlearn_epochs, momentum=args.momentum,
+        weight_decay=args.weight_decay, decreasing_lr=args.decreasing_lr,
+        warmup=args.warmup, batch_size=args.batch_size, alpha=args.alpha,
+        no_l1_epochs=args.no_l1_epochs, mask_ratio=args.mask_ratio,
+        class_to_replace=args.class_to_replace,
+        num_indexes_to_replace=args.num_indexes_to_replace,
+        rate=args.rate, random_prune=args.random_prune, seed=args.seed,
+        print_freq=args.print_freq,
+    )
+
+    tx = masked_opt.sgd(cfg.unlearn_lr, cfg.momentum, cfg.weight_decay)
+    state = TrainState.create(
+        {"params": params, "batch_stats": batch_stats}, tx
+    )
+
+    method = get_unlearn_method(args.unlearn)
+    out = method(loaders, model, state, cfg, mask=mask, key=key)
+    if isinstance(out, tuple):  # boundary_expanding returns (state, model)
+        state, model = out
+    else:
+        state = out
+
+    # UA/RA/TA (main_random.py:146-155)
+    results = {}
+    for name in ("retain", "forget", "val", "test"):
+        results[name] = validate(model, state, loaders[name])
+        print(f"{name} acc: {results[name]:.2f}")
+    results["UA"] = 100.0 - results["forget"]
+
+    # MIA forget efficacy (main_random.py:165-186): shadow_train =
+    # retain[:len(test)], shadow_test = test, target = forget
+    n_shadow = min(len(test), len(retain))
+    shadow_train = BatchIterator(retain.select(np.arange(n_shadow)),
+                                 args.batch_size, shuffle=False)
+    mia = SVC_MIA(
+        model, state.params, state.batch_stats,
+        shadow_train=shadow_train, shadow_test=loaders["test"],
+        target_train=None, target_test=loaders["forget"],
+    )
+    results["SVC_MIA_forget_efficacy"] = mia
+    print("SVC_MIA_forget_efficacy:", mia)
+
+    ckpt.save(os.path.join(args.save_dir, f"{args.unlearn}_checkpoint"), {
+        "params": state.params, "batch_stats": state.batch_stats,
+    })
+    ckpt.save_eval_results(args.save_dir, args.unlearn, results)
+    return results
+
+
+def _load_model(path, params, batch_stats):
+    if path.endswith((".pt", ".pth", ".pth.tar")):
+        from salun.ckpt import import_resnet
+
+        return import_resnet(path)
+    payload = ckpt.restore(path)
+    return payload["params"], payload.get("batch_stats", batch_stats)
+
+
+def _load_mask(path, params):
+    if path.endswith((".pt", ".pth")):
+        from salun.ckpt import import_mask
+
+        return import_mask(path, params)
+    return ckpt.restore(path)["mask"]
+
+
+def main(argv=None):
+    return run(argv, use_mask=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Pretraining driver (parity: Classification/main_train.py:30-159).
+
+SGD momentum + MultiStepLR (milestones 91,136 γ=0.1) or cosine-warmup for
+ImageNet archs; per-epoch validation; best-SA checkpoint; loss/accuracy
+curves dumped as JSON (and PNG when matplotlib is present).
+
+Usage: python -m salun.cli.main_train --dataset cifar10 --arch resnet18 ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from salun import ckpt
+from salun.cli.args import parse_args
+from salun.cli.setup import setup_model_dataset
+from salun.core import masked_opt
+from salun.core.train import (
+    TrainState, cosine_warmup_lr, make_train_step, multistep_lr, validate,
+)
+from salun.data.loader import BatchIterator
+from salun.utils.rng import seed_all
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+    key = seed_all(args.seed)
+
+    model, train, val, test, _ = setup_model_dataset(args)
+    loader = BatchIterator(train, args.batch_size, shuffle=True,
+                           seed=args.train_seed)
+    steps_per_epoch = len(loader)
+
+    milestones = [int(x) for x in args.decreasing_lr.split(",") if x]
+    if args.imagenet_arch:
+        sched = cosine_warmup_lr(args.lr, args.warmup, args.epochs,
+                                 steps_per_epoch)
+    else:
+        sched = multistep_lr(args.lr, milestones, steps_per_epoch)
+    tx = masked_opt.sgd(sched, args.momentum, args.weight_decay)
+
+    size = 224 if args.imagenet_arch else 32
+    variables = model.init(key, jnp.zeros((1, size, size, 3)), train=False)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, use_augment=not args.no_aug,
+                           num_classes=args.num_classes)
+
+    best_sa = 0.0
+    curves = {"train_acc": [], "val_acc": [], "test_acc": []}
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, m = step(state, jax.tree.map(jnp.asarray, batch), sub)
+        train_acc = float(m["acc"])
+        val_acc = validate(model, state,
+                           BatchIterator(val, args.batch_size, shuffle=False))
+        test_acc = validate(model, state,
+                            BatchIterator(test, args.batch_size, shuffle=False))
+        curves["train_acc"].append(train_acc)
+        curves["val_acc"].append(val_acc)
+        curves["test_acc"].append(test_acc)
+        print(f"epoch {epoch} train {train_acc:.2f} val {val_acc:.2f} "
+              f"test {test_acc:.2f} ({time.time() - t0:.1f}s)")
+
+        is_best = val_acc > best_sa
+        best_sa = max(val_acc, best_sa)
+        ckpt.save(os.path.join(args.save_dir, "checkpoint"), {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "step": state.step, "best_sa": best_sa,
+        })
+        if is_best:
+            ckpt.save(os.path.join(args.save_dir, "model_SA_best"), {
+                "params": state.params, "batch_stats": state.batch_stats,
+            })
+
+    with open(os.path.join(args.save_dir, "train_curves.json"), "w") as f:
+        json.dump(curves, f)
+    _maybe_plot(curves, args.save_dir)
+
+
+def _maybe_plot(curves, save_dir):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for name, ys in curves.items():
+            plt.plot(ys, label=name)
+        plt.legend()
+        plt.savefig(os.path.join(save_dir, "net_train.png"))
+        plt.close()
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":
+    main()
