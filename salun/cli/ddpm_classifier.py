@@ -1,0 +1,137 @@
+"""DDPM classifier evaluation + classifier training.
+
+Parity:
+- train_classifier (DDPM/train_classifier.py): fine-tune a ResNet-34 @224
+  on CIFAR-10 for the forgotten-class probe.
+- classifier_evaluation (DDPM/classifier_evaluation.py:16-147): run the
+  classifier over generated samples of the forgotten class and report
+  average entropy, average forgotten-class probability, and accuracy
+  (the DDPM/README.md:95-99 metrics).
+
+Usage:
+  python -m salun.cli.ddpm_classifier train --data ./data --save_dir ...
+  python -m salun.cli.ddpm_classifier eval --sample_path samples/0 \
+      --label_of_forgotten_class 0 --ckpt ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salun import ckpt
+from salun.core import masked_opt
+from salun.core.train import TrainState, make_train_step, multistep_lr, validate
+from salun.data import datasets as D
+from salun.data.loader import BatchIterator
+from salun.models import create_model
+from salun.utils.rng import seed_all
+
+IMG_SIZE = 224  # classifier_evaluation.py evaluates at 224
+
+
+def _resize_batch(x):
+    b = x.shape[0]
+    return jax.image.resize(x, (b, IMG_SIZE, IMG_SIZE, x.shape[-1]),
+                            "bilinear")
+
+
+def train(args):
+    seed_all(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    ds = D.load(args.dataset, args.data, train=True)
+    test = D.load(args.dataset, args.data, train=False)
+    model = create_model("resnet34", num_classes=ds.num_classes)
+
+    loader = BatchIterator(ds, args.batch_size, shuffle=True, seed=args.seed)
+    sched = multistep_lr(args.lr, [int(0.5 * args.epochs), int(0.75 * args.epochs)],
+                         len(loader))
+    tx = masked_opt.sgd(sched, 0.9, 5e-4)
+    variables = model.init(key, jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+                           train=False)
+    state = TrainState.create(variables, tx)
+
+    base_step = make_train_step(model, tx, use_augment=True,
+                                num_classes=ds.num_classes)
+
+    for epoch in range(args.epochs):
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            batch = jax.tree.map(jnp.asarray, batch)
+            batch = dict(batch, image=_resize_batch(
+                batch["image"].astype(jnp.float32) / 255.0) * 255.0)
+            state, m = base_step(state, batch, sub)
+        print(f"epoch {epoch} train acc {float(m['acc']):.2f}")
+    ckpt.save(os.path.join(args.save_dir, "classifier"), {
+        "params": state.params, "batch_stats": state.batch_stats,
+    })
+
+
+def evaluate(args):
+    from salun.cli.ddpm_evaluator import read_images_folder
+
+    payload = ckpt.restore(args.ckpt)
+    model = create_model("resnet34", num_classes=10)
+    params, stats = payload["params"], payload["batch_stats"]
+
+    imgs = read_images_folder(args.sample_path)
+
+    @jax.jit
+    def probs_of(x):
+        x = _resize_batch(x)
+        out = model.apply({"params": params, "batch_stats": stats}, x,
+                          train=False)
+        return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+
+    probs = []
+    for i in range(0, len(imgs), args.batch_size):
+        probs.append(np.asarray(probs_of(jnp.asarray(imgs[i:i + args.batch_size]))))
+    probs = np.concatenate(probs)
+
+    entropy = -(probs * np.log(np.maximum(probs, 1e-12))).sum(1)
+    c = args.label_of_forgotten_class
+    results = {
+        "avg_entropy": float(entropy.mean()),
+        "avg_prob_of_forgotten_class": float(probs[:, c].mean()),
+        "accuracy_on_forgotten_class": float(
+            (probs.argmax(1) == c).mean()
+        ),
+    }
+    print(results)
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(os.path.join(args.save_dir, "classifier_eval.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    tr = sub.add_parser("train")
+    tr.add_argument("--dataset", default="cifar10")
+    tr.add_argument("--data", default="./data")
+    tr.add_argument("--batch_size", type=int, default=64)
+    tr.add_argument("--epochs", type=int, default=10)
+    tr.add_argument("--lr", type=float, default=0.01)
+    tr.add_argument("--seed", type=int, default=1)
+    tr.add_argument("--save_dir", default="results/classifier")
+    ev = sub.add_parser("eval")
+    ev.add_argument("--sample_path", required=True)
+    ev.add_argument("--label_of_forgotten_class", type=int, default=0)
+    ev.add_argument("--ckpt", required=True)
+    ev.add_argument("--batch_size", type=int, default=64)
+    ev.add_argument("--save_dir", default="results/classifier")
+    args = p.parse_args(argv)
+    if args.cmd == "train":
+        train(args)
+    else:
+        evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

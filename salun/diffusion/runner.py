@@ -71,6 +71,12 @@ def make_optimizer(cfg: DDPMTrainConfig, mask=None):
     return optax.chain(*chain)
 
 
+
+def _img01(x):
+    """uint8 → [0,1] float; float passes through."""
+    return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+
+
 class DDPMRunner:
     def __init__(self, unet_cfg: UNetConfig, schedule: DiffusionSchedule,
                  train_cfg: DDPMTrainConfig):
@@ -95,6 +101,8 @@ class DDPMRunner:
     def _eps_loss(self, params, x01, c, t, e, key, cond_drop_prob, train=True):
         """Conditional eps-MSE on [0,1] images (losses.py:21-37):
         transform to [−1,1], q_sample, predict, sum-square."""
+        if x01.dtype == jnp.uint8:
+            x01 = x01.astype(jnp.float32) / 255.0
         x0 = data_transform(x01)
         xt = q_sample(x0, t, e, self.schedule)
         rngs = {}
@@ -119,7 +127,7 @@ class DDPMRunner:
         def step(carry, batch, key):
             params, opt_state, shadow = carry
             kt, ke, kl = jax.random.split(key, 3)
-            x = batch["image"]
+            x = _img01(batch["image"])
             n = x.shape[0]
             t = antithetic_timesteps(kt, n, T)
             e = jax.random.normal(ke, x.shape)
@@ -151,24 +159,26 @@ class DDPMRunner:
 
         def loss_fn(params, remain, forget, key):
             k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-            n_r = remain["image"].shape[0]
+            remain_img = _img01(remain["image"])
+            n_r = remain_img.shape[0]
             t_r = antithetic_timesteps(k1, n_r, T)
-            e_r = jax.random.normal(k2, remain["image"].shape)
+            e_r = jax.random.normal(k2, remain_img.shape)
             remain_loss = self._eps_loss(
-                params, remain["image"], remain["label"], t_r, e_r, k3,
+                params, remain_img, remain["label"], t_r, e_r, k3,
                 self.cfg.cond_drop_prob,
             )
 
-            n_f = forget["image"].shape[0]
+            forget_img = _img01(forget["image"])
+            n_f = forget_img.shape[0]
             t_f = antithetic_timesteps(k4, n_f, T)
-            e_f = jax.random.normal(k5, forget["image"].shape)
+            e_f = jax.random.normal(k5, forget_img.shape)
             if method == "ga":
                 forget_loss = -self._eps_loss(
-                    params, forget["image"], forget["label"], t_f, e_f, k5,
+                    params, forget_img, forget["label"], t_f, e_f, k5,
                     self.cfg.cond_drop_prob,
                 )
             elif method == "rl":
-                x0 = data_transform(forget["image"])
+                x0 = data_transform(forget_img)
                 xt = q_sample(x0, t_f, e_f, self.schedule)
                 tf = t_f.astype(jnp.float32)
                 rngs = {"cond_drop": jax.random.fold_in(k5, 0),
@@ -213,7 +223,7 @@ class DDPMRunner:
 
         def loss_fn(params, remember, key):
             k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-            x_rem = remember["image"]
+            x_rem = _img01(remember["image"])
             n = x_rem.shape[0]
             t = antithetic_timesteps(k1, n, T)
             x_forget01 = jax.random.uniform(k2, x_rem.shape)  # → [−1,1] inside
@@ -268,7 +278,7 @@ class DDPMRunner:
         @jax.jit
         def acc_batch(acc, batch, key):
             kt, ke = jax.random.split(key)
-            x = batch["image"]
+            x = _img01(batch["image"])
             n = x.shape[0]
             t = antithetic_timesteps(kt, n, T)
             e = jax.random.normal(ke, x.shape)
@@ -310,7 +320,7 @@ class DDPMRunner:
 
         @jax.jit
         def acc_batch(acc, total, batch, key):
-            x, c = batch["image"], batch["label"]
+            x, c = _img01(batch["image"]), batch["label"]
             n = x.shape[0]
             kt, ke = jax.random.split(key)
             ts = jax.random.randint(kt, (n, n_timestep_samples), 0, T)

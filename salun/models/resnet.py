@@ -147,6 +147,14 @@ def resnet18(num_classes: int = 10, imagenet: bool = False, **kw) -> ResNet:
                   num_classes=num_classes, imagenet_stem=imagenet, **kw)
 
 
+def resnet34(num_classes: int = 10, imagenet: bool = True, **kw) -> ResNet:
+    """Used by the DDPM classifier evaluation (DDPM/train_classifier.py,
+    classifier_evaluation.py:16-64 — torchvision ResNet-34 @224)."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock,
+                  num_classes=num_classes, imagenet_stem=imagenet,
+                  mean=IMAGENET_MEAN, std=IMAGENET_STD, **kw)
+
+
 def resnet50(num_classes: int = 10, imagenet: bool = False, **kw) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
                   num_classes=num_classes, imagenet_stem=imagenet, **kw)

@@ -1,0 +1,75 @@
+"""FID/IS/precision-recall machinery tests (extractor-agnostic)."""
+
+import numpy as np
+import pytest
+
+from salun.evalx.fid import (
+    FIDStatistics, ManifoldEstimator, evaluate_all, inception_score,
+    precision_recall,
+)
+
+
+def test_fid_zero_for_identical(rng):
+    acts = rng.standard_normal((500, 16)).astype(np.float64)
+    s1 = FIDStatistics.from_activations(acts)
+    s2 = FIDStatistics.from_activations(acts.copy())
+    assert abs(s1.frechet_distance(s2)) < 1e-6
+
+
+def test_fid_closed_form_gaussians(rng):
+    # For N(0,I) vs N(m,I): FID = ‖m‖² (large-sample)
+    n, d = 20000, 4
+    a = rng.standard_normal((n, d))
+    m = np.array([1.0, 0.0, 0.0, 0.0])
+    b = rng.standard_normal((n, d)) + m
+    fid = FIDStatistics.from_activations(a).frechet_distance(
+        FIDStatistics.from_activations(b)
+    )
+    assert abs(fid - 1.0) < 0.1, fid
+
+
+def test_inception_score_uniform_vs_peaked():
+    n, c = 1000, 10
+    uniform = np.full((n, c), 1.0 / c)
+    assert abs(inception_score(uniform) - 1.0) < 1e-5
+    # confident + diverse → IS ≈ c
+    peaked = np.eye(c)[np.arange(n) % c] * 0.999 + 0.001 / c
+    peaked /= peaked.sum(1, keepdims=True)
+    assert inception_score(peaked) > 8.0
+
+
+def test_precision_recall_identical(rng):
+    feats = rng.standard_normal((300, 8)).astype(np.float32)
+    p, r = precision_recall(feats, feats.copy())
+    assert p == 1.0 and r == 1.0
+
+
+def test_precision_recall_disjoint(rng):
+    a = rng.standard_normal((200, 8)).astype(np.float32)
+    b = rng.standard_normal((200, 8)).astype(np.float32) + 100.0
+    p, r = precision_recall(a, b)
+    assert p == 0.0 and r == 0.0
+
+
+def test_evaluate_all_keys(rng):
+    real = rng.standard_normal((256, 8))
+    gen = rng.standard_normal((256, 8))
+    sm = np.abs(rng.standard_normal((256, 10)))
+    sm /= sm.sum(1, keepdims=True)
+    out = evaluate_all(real, gen, real, gen, sm)
+    assert set(out) == {"inception_score", "fid", "sfid", "precision", "recall"}
+
+
+def test_inception_v3_shapes(key):
+    import jax.numpy as jnp
+
+    from salun.evalx.inception import InceptionV3
+
+    model = InceptionV3()
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(key, x)
+    pool, spatial, sm = model.apply(variables, x)
+    assert pool.shape == (1, 2048)
+    assert spatial.shape[0] == 1
+    assert sm.shape == (1, 1008)
+    np.testing.assert_allclose(np.asarray(sm).sum(), 1.0, rtol=1e-5)
