@@ -1,0 +1,149 @@
+"""SD evaluation suite: imageclassify / compute-fid / nudenet.
+
+Parity:
+- imageclassify (SD/eval-scripts/imageclassify.py:10-117): pretrained
+  ResNet-50 top-k over generated images → CSV; UA = 1 − top1. The
+  torchvision ImageNet weights must be supplied as a local .pth
+  (--classifier_weights); imported via salun.ckpt.import_resnet.
+- compute-fid (SD/eval-scripts/compute-fid.py:9-41): FID between a real
+  image folder and a generated folder (salun.evalx.fid machinery; Inception
+  weights via --inception_weights as in ddpm_evaluator).
+- nudenet (SD/eval-scripts/nudenet-classes.py:13-92): NudeNet detections per
+  image → CSV. The nudenet package is not bundled (zero-egress); the
+  subcommand fails with instructions unless it's importable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+
+def imageclassify(args):
+    import jax
+    import jax.numpy as jnp
+
+    from salun.ckpt import import_resnet
+    from salun.cli.ddpm_evaluator import read_images_folder
+    from salun.models import create_model
+
+    model = create_model("resnet50", num_classes=1000, imagenet=True)
+    if args.classifier_weights:
+        params, stats = import_resnet(args.classifier_weights,
+                                      num_classes=1000)
+    else:
+        print("WARNING: no --classifier_weights; random init "
+              "(pipeline check only)")
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 224, 224, 3)), train=False)
+        params, stats = v["params"], v["batch_stats"]
+
+    @jax.jit
+    def topk_of(x):
+        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
+        out = model.apply({"params": params, "batch_stats": stats}, x,
+                          train=False)
+        return jax.lax.top_k(out, args.topk)
+
+    rows = []
+    for case in sorted(os.listdir(args.folder_path)):
+        d = os.path.join(args.folder_path, case)
+        if not os.path.isdir(d):
+            continue
+        imgs = read_images_folder(d)
+        for i in range(0, len(imgs), args.batch_size):
+            _, idx = topk_of(jnp.asarray(imgs[i : i + args.batch_size]))
+            for j, top in enumerate(np.asarray(idx)):
+                rows.append({"case_number": case, "image": i + j,
+                             **{f"top{k+1}": int(top[k])
+                                for k in range(args.topk)}})
+    os.makedirs(os.path.dirname(args.save_path) or ".", exist_ok=True)
+    with open(args.save_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {len(rows)} rows → {args.save_path}")
+
+
+def compute_fid(args):
+    from salun.cli.ddpm_evaluator import read_images_folder
+    from salun.evalx.fid import FIDStatistics
+    from salun.evalx.inception import InceptionV3, load_params, make_feature_fn
+
+    if args.inception_weights:
+        params, stats = load_params(args.inception_weights)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        print("WARNING: random-init Inception (pipeline check only)")
+        model = InceptionV3()
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        params, stats = v["params"], v["batch_stats"]
+    extract = make_feature_fn(params, stats, args.batch_size)
+    p1, _, _ = extract(read_images_folder(args.folder1))
+    p2, _, _ = extract(read_images_folder(args.folder2))
+    fid = FIDStatistics.from_activations(p1).frechet_distance(
+        FIDStatistics.from_activations(p2))
+    print(f"FID: {fid:.4f}")
+    return fid
+
+
+def nudenet(args):
+    try:
+        from nudenet import NudeDetector
+    except ImportError as e:
+        raise SystemExit(
+            "nudenet is not installed in this environment (zero egress). "
+            "Install it and its ONNX model, then re-run; the CSV schema "
+            "matches SD/eval-scripts/nudenet-classes.py."
+        ) from e
+
+    detector = NudeDetector()
+    rows = []
+    for dp, _, fs in os.walk(args.folder):
+        for fn in sorted(fs):
+            if not fn.lower().endswith((".png", ".jpg", ".jpeg")):
+                continue
+            dets = detector.detect(os.path.join(dp, fn))
+            labels = [d["class"] for d in dets
+                      if d.get("score", 0) >= args.threshold]
+            rows.append({"image": fn, "classes": "-".join(sorted(labels))})
+    with open(args.save_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image", "classes"])
+        w.writeheader()
+        w.writerows(rows)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    ic = sub.add_parser("imageclassify")
+    ic.add_argument("--folder_path", required=True)
+    ic.add_argument("--save_path", default="classify.csv")
+    ic.add_argument("--classifier_weights", default=None)
+    ic.add_argument("--topk", type=int, default=5)
+    ic.add_argument("--batch_size", type=int, default=16)
+    fd = sub.add_parser("compute_fid")
+    fd.add_argument("folder1")
+    fd.add_argument("folder2")
+    fd.add_argument("--inception_weights", default=None)
+    fd.add_argument("--batch_size", type=int, default=32)
+    nd = sub.add_parser("nudenet")
+    nd.add_argument("--folder", required=True)
+    nd.add_argument("--save_path", default="nudenet.csv")
+    nd.add_argument("--threshold", type=float, default=0.45)
+    args = p.parse_args(argv)
+    if args.cmd == "imageclassify":
+        imageclassify(args)
+    elif args.cmd == "compute_fid":
+        compute_fid(args)
+    else:
+        nudenet(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,250 @@
+"""SD concept-erasure CLI — one driver for all six train-scripts.
+
+Parity (each reference script is a subcommand):
+- generate_mask     (SD/train-scripts/generate_mask.py)
+- random_label      (random_label.py — SalUn class forgetting)
+- gradient_ascent   (gradient_ascent.py)
+- nsfw_removal      (nsfw_removal.py)
+- proximal          (proximal_gradient.py)
+- esd               (train-esd.py)
+
+Usage:
+  python -m salun.cli.sd_train random_label --class_to_forget 0 \
+      --ckpt_path sd-v1-4.ckpt --train_method full --alpha 0.5 \
+      --epochs 5 --lr 1e-5 --mask_path mask/0/with_0.5.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salun import ckpt as ckpt_store
+from salun.sd import SDModules, data as sd_data, import_compvis, \
+    load_compvis_state_dict, tokenize
+from salun.sd.trainers import (
+    make_esd_step, make_gradient_ascent_step, make_random_label_step,
+    make_sd_optimizer, proximal_shrink, sd_generate_mask, trainable_mask,
+)
+from salun.utils.rng import seed_all
+from salun.utils.tree import tree_size
+
+
+def _common(p):
+    p.add_argument("--ckpt_path", type=str, default=None,
+                   help="CompVis sd-v1-4.ckpt (imported) or our orbax ckpt")
+    p.add_argument("--data", type=str, default="./data")
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--train_method", type=str, default="full")
+    p.add_argument("--mask_path", type=str, default=None)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save_dir", type=str, default="results/sd")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="SalUn-TPU SD trainers")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    gm = sub.add_parser("generate_mask")
+    _common(gm)
+    gm.add_argument("--class_to_forget", type=int, default=0)
+    gm.add_argument("--c_guidance", type=float, default=7.5)
+    gm.add_argument("--threshold", type=float, default=0.5)
+    gm.add_argument("--num_samples", type=int, default=64)
+
+    for name in ("random_label", "gradient_ascent"):
+        q = sub.add_parser(name)
+        _common(q)
+        q.add_argument("--class_to_forget", type=int, default=0)
+        q.add_argument("--epochs", type=int, default=5)
+
+    nz = sub.add_parser("nsfw_removal")
+    _common(nz)
+    nz.add_argument("--forget_dir", type=str, default="data/nsfw")
+    nz.add_argument("--remain_dir", type=str, default="data/not-nsfw")
+    nz.add_argument("--epochs", type=int, default=1)
+
+    pr = sub.add_parser("proximal")
+    _common(pr)
+    pr.add_argument("--class_to_forget", type=int, default=0)
+    pr.add_argument("--epochs", type=int, default=5)
+    pr.add_argument("--mask_ratio", type=float, default=0.5)
+
+    es = sub.add_parser("esd")
+    _common(es)
+    es.add_argument("--prompt", type=str, required=True)
+    es.add_argument("--iterations", type=int, default=1000)
+    es.add_argument("--start_guidance", type=float, default=3.0)
+    es.add_argument("--negative_guidance", type=float, default=1.0)
+    es.add_argument("--ddim_steps", type=int, default=50)
+
+    return p.parse_args(argv)
+
+
+def load_params(modules: SDModules, args, key):
+    if args.ckpt_path and args.ckpt_path.endswith(".ckpt"):
+        sd = load_compvis_state_dict(args.ckpt_path)
+        templates = modules.init(key, image_size=args.image_size // 8)
+        return import_compvis(sd, templates)
+    if args.ckpt_path:
+        return ckpt_store.restore(args.ckpt_path)["params"]
+    print("WARNING: no --ckpt_path, using random init (pipeline check only)")
+    return modules.init(key, image_size=args.image_size // 8)
+
+
+def load_unet_mask(args, unet_params):
+    if not args.mask_path:
+        return None
+    if args.mask_path.endswith((".pt", ".pth")):
+        import torch
+
+        from salun.sd.import_ckpt import _place, map_unet_key
+        from salun.utils.tree import flatten_names, tree_from_flat
+
+        md = torch.load(args.mask_path, map_location="cpu",
+                        weights_only=False)
+        flat = {}
+        for name, t in md.items():
+            name = name.split("model.diffusion_model.")[-1]
+            base, leaf = name.rsplit(".", 1)
+            _place(flat, map_unet_key(base), np.asarray(t.float()), leaf)
+        tmpl = flatten_names(unet_params)
+        out = {k: jnp.asarray(flat[k]) if k in flat
+               else jnp.ones_like(v, jnp.float32) for k, v in tmpl.items()}
+        return tree_from_flat(out)
+    return ckpt_store.restore(args.mask_path)["mask"]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+    seed_all(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    modules = SDModules.create()
+    params = load_params(modules, args, key)
+    latent = args.image_size // 8
+
+    if args.cmd == "generate_mask":
+        ds = sd_data.load_imagenette(args.data, args.image_size)
+        forget, _ = sd_data.forget_remain_split(ds, args.class_to_forget)
+        n = min(args.num_samples, len(forget))
+        imgs = sd_data.to_pm1(forget.data[:n])
+        prompts = [sd_data.DESCRIPTIONS[args.class_to_forget]] * n
+        masks = sd_generate_mask(modules, params, imgs, prompts, key,
+                                 guidance=args.c_guidance,
+                                 batch_size=args.batch_size,
+                                 thresholds=(args.threshold,))
+        out = os.path.join(args.save_dir, "mask", str(args.class_to_forget))
+        for t, m in masks.items():
+            ckpt_store.save(os.path.join(out, f"with_{t}"), {"mask": m})
+        return
+
+    mask = load_unet_mask(args, params["unet"])
+    tx = make_sd_optimizer(params["unet"], args.lr, args.train_method)
+    carry = (jax.tree.map(jnp.copy, params["unet"]),
+             tx.init(params["unet"]))
+
+    if args.cmd in ("random_label", "gradient_ascent", "proximal"):
+        ds = sd_data.load_imagenette(args.data, args.image_size)
+        forget, remain = sd_data.forget_remain_split(ds, args.class_to_forget)
+        pseudo_cls = (args.class_to_forget + 1) % 10
+        step_maker = (make_gradient_ascent_step
+                      if args.cmd == "gradient_ascent"
+                      else make_random_label_step)
+        step = step_maker(modules, tx, mask=mask, alpha=args.alpha)
+        theta_init = (jax.tree.map(jnp.copy, carry[0])
+                      if args.cmd == "proximal" else None)
+        n_params = tree_size(carry[0])
+        steps_per_epoch = max(len(forget) // args.batch_size, 1)
+        total_steps = args.epochs * steps_per_epoch
+        rng = np.random.RandomState(args.seed)
+        count = 0
+        for epoch in range(args.epochs):
+            order_f = rng.permutation(len(forget))
+            order_r = rng.permutation(len(remain))
+            for i in range(steps_per_epoch):
+                fi = order_f[(i * args.batch_size) % len(forget):][:args.batch_size]
+                ri = order_r[(i * args.batch_size) % len(remain):][:args.batch_size]
+                if len(fi) < args.batch_size or len(ri) < args.batch_size:
+                    continue
+                f_lab = forget.targets[fi]
+                r_lab = remain.targets[ri]
+                batch = {
+                    "forget_images": jnp.asarray(sd_data.to_pm1(forget.data[fi])),
+                    "remain_images": jnp.asarray(sd_data.to_pm1(remain.data[ri])),
+                    "forget_ids": jnp.asarray(tokenize(
+                        [sd_data.DESCRIPTIONS[c] for c in f_lab])),
+                    "pseudo_ids": jnp.asarray(tokenize(
+                        [sd_data.DESCRIPTIONS[pseudo_cls]] * len(fi))),
+                    "remain_ids": jnp.asarray(tokenize(
+                        [sd_data.DESCRIPTIONS[c] for c in r_lab])),
+                }
+                key, sub = jax.random.split(key)
+                carry, loss = step(carry, params, batch, sub)
+                if args.cmd == "proximal":
+                    frac = (total_steps - (count + 1)) / total_steps
+                    ratio = max(int(args.mask_ratio * frac * n_params), 1)
+                    carry = (proximal_shrink(carry[0], theta_init,
+                                             jnp.int32(ratio)), carry[1])
+                count += 1
+            print(f"epoch {epoch} loss {float(loss):.4f}")
+    elif args.cmd == "nsfw_removal":
+        forget_ds = sd_data.load_image_folder(args.forget_dir, args.image_size)
+        remain_ds = sd_data.load_image_folder(args.remain_dir, args.image_size)
+        step = make_random_label_step(modules, tx, mask=mask, alpha=args.alpha)
+        ids_nude = tokenize([sd_data.WORD_NUDE] * args.batch_size)
+        ids_wear = tokenize([sd_data.WORD_WEAR] * args.batch_size)
+        rng = np.random.RandomState(args.seed)
+        for epoch in range(args.epochs):
+            order_f = rng.permutation(len(forget_ds))
+            order_r = rng.permutation(len(remain_ds))
+            for i in range(len(forget_ds) // args.batch_size):
+                fi = order_f[i * args.batch_size:][:args.batch_size]
+                ri = order_r[(i * args.batch_size) % len(remain_ds):][:args.batch_size]
+                if len(ri) < args.batch_size:
+                    continue
+                batch = {
+                    "forget_images": jnp.asarray(sd_data.to_pm1(forget_ds.data[fi])),
+                    "remain_images": jnp.asarray(sd_data.to_pm1(remain_ds.data[ri])),
+                    "forget_ids": jnp.asarray(ids_nude),
+                    "pseudo_ids": jnp.asarray(ids_wear),
+                    "remain_ids": jnp.asarray(ids_wear),
+                }
+                key, sub = jax.random.split(key)
+                carry, loss = step(carry, params, batch, sub)
+            print(f"epoch {epoch} loss {float(loss):.4f}")
+    elif args.cmd == "esd":
+        words = [w.strip() for w in args.prompt.split(",")] or [args.prompt]
+        step = make_esd_step(modules, tx, mask=mask,
+                             negative_guidance=args.negative_guidance,
+                             start_guidance=args.start_guidance,
+                             ddim_steps=args.ddim_steps, image_size=latent)
+        ctx_0 = modules.encode_text(params, jnp.asarray(tokenize([""])))
+        for i in range(args.iterations):
+            word = words[i % len(words)]
+            ids = jnp.asarray(tokenize([word]))
+            ctx_p = modules.encode_text(params, ids)
+            key, sub = jax.random.split(key)
+            carry, loss = step(carry, params, ctx_p, ctx_0, ctx_p, sub)
+            if (i + 1) % 100 == 0:
+                print(f"iter {i} loss {float(loss):.5f}")
+
+    new_params = dict(params, unet=carry[0])
+    ckpt_store.save(os.path.join(args.save_dir, "ckpt"),
+                    {"params": new_params})
+    # CompVis-keyed export for interop (random_label.py:175-190)
+    from salun.sd.import_ckpt import export_compvis_unet
+
+    np.savez(os.path.join(args.save_dir, "unet_compvis.npz"),
+             **export_compvis_unet(carry[0]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""CompVis ``sd-v1-4.ckpt`` → flax params importer.
+
+The reverse direction of the reference's 1,128-line CompVis→diffusers
+remapper (SD/train-scripts/convertModels.py:61-1128): here the CompVis
+state dict maps onto our flax modules, whose names were chosen to mirror
+the torch layout (salun.sd.unet/vae/clip_text), so the translation is a
+mechanical rename + layout transpose:
+
+- ``model.diffusion_model.*``                → params["unet"]
+- ``first_stage_model.*``                    → params["vae"]
+- ``cond_stage_model.transformer.text_model.*`` → params["clip"]
+
+Layout rules: conv OIHW→HWIO; linear [out,in]→[in,out]; norm weight→scale;
+embeddings stay [vocab, dim].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().float().numpy()
+                      if hasattr(t, "detach") else t)
+
+
+def load_compvis_state_dict(path: str) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("state_dict", ckpt)
+
+
+# ------------------------------------------------------------- UNet
+
+
+def map_unet_key(key: str) -> str:
+    """'input_blocks.4.1.transformer_blocks.0.attn1.to_q' →
+    'input_blocks_4_1/transformer_blocks_0/attn1/to_q'."""
+    k = key
+    k = re.sub(r"^(input_blocks|output_blocks)\.(\d+)\.(\d+)$",
+               r"\1_\2_\3", k)
+    k = re.sub(r"^(input_blocks|output_blocks)\.(\d+)\.(\d+)\.",
+               r"\1_\2_\3/", k)
+    k = re.sub(r"^middle_block\.(\d+)\.", r"middle_block_\1/", k)
+    k = re.sub(r"^time_embed\.(\d+)$", r"time_embed_\1", k)
+    k = re.sub(r"^out\.(\d+)$", r"out_\1", k)
+    # stem conv: input_blocks_0_0/ with empty remainder
+    k = k.rstrip("/")
+    k = k.replace("in_layers.0", "in_layers_0")
+    k = k.replace("in_layers.2", "in_layers_2")
+    k = k.replace("emb_layers.1", "emb_layers_1")
+    k = k.replace("out_layers.0", "out_layers_0")
+    k = k.replace("out_layers.3", "out_layers_3")
+    k = re.sub(r"transformer_blocks\.(\d+)\.", r"transformer_blocks_\1/", k)
+    k = k.replace("to_out.0", "to_out_0")
+    k = k.replace("ff.net.0.proj", "ff/net_0_proj")
+    k = k.replace("ff.net.2", "ff/net_2")
+    k = k.replace(".", "/")
+    return k
+
+
+def map_vae_key(key: str) -> str:
+    k = key
+    k = re.sub(r"(encoder|decoder)\.down\.(\d+)\.block\.(\d+)\.",
+               r"\1/down_\2_block_\3/", k)
+    k = re.sub(r"(encoder|decoder)\.up\.(\d+)\.block\.(\d+)\.",
+               r"\1/up_\2_block_\3/", k)
+    k = re.sub(r"(encoder|decoder)\.down\.(\d+)\.downsample\.conv",
+               r"\1/down_\2_downsample", k)
+    k = re.sub(r"(encoder|decoder)\.up\.(\d+)\.upsample\.conv",
+               r"\1/up_\2_upsample", k)
+    k = re.sub(r"(encoder|decoder)\.mid\.(block_\d+|attn_1)\.",
+               r"\1/mid_\2/", k)
+    k = k.replace(".", "/")
+    return k
+
+
+def map_clip_key(key: str) -> str:
+    k = key
+    k = k.replace("embeddings.token_embedding", "token_embedding")
+    k = k.replace("embeddings.position_embedding", "position_embedding")
+    k = re.sub(r"encoder\.layers\.(\d+)\.", r"layers_\1/", k)
+    k = k.replace(".", "/")
+    return k
+
+
+def _place(flat: Dict[str, np.ndarray], path: str, v: np.ndarray,
+           leaf: str, is_embedding: bool = False):
+    if leaf == "weight":
+        if is_embedding:
+            flat[path + "/embedding" if not path.endswith("position_embedding")
+                 else path] = v
+        elif v.ndim == 4:
+            flat[path + "/kernel"] = v.transpose(2, 3, 1, 0)
+        elif v.ndim == 2:
+            flat[path + "/kernel"] = v.T
+        else:
+            flat[path + "/scale"] = v
+    elif leaf == "bias":
+        flat[path + "/bias"] = v
+    else:
+        raise KeyError(f"{path}.{leaf}")
+
+
+def import_compvis(sd: dict, templates: dict) -> dict:
+    """Full CompVis state dict → {"unet", "vae", "clip"} params trees.
+
+    ``templates``: the randomly-initialized params from SDModules.init —
+    used to validate coverage and shapes.
+    """
+    import jax.numpy as jnp
+
+    from salun.utils.tree import flatten_names, tree_from_flat
+
+    flats = {"unet": {}, "vae": {}, "clip": {}}
+    for key, tensor in sd.items():
+        v = _np(tensor)
+        if key.startswith("model.diffusion_model."):
+            rest = key[len("model.diffusion_model."):]
+            name, leaf = rest.rsplit(".", 1)
+            _place(flats["unet"], map_unet_key(name), v, leaf)
+        elif key.startswith("first_stage_model."):
+            rest = key[len("first_stage_model."):]
+            name, leaf = rest.rsplit(".", 1)
+            _place(flats["vae"], map_vae_key(name), v, leaf)
+        elif key.startswith("cond_stage_model.transformer."):
+            rest = key[len("cond_stage_model.transformer."):]
+            if rest.startswith("text_model."):
+                rest = rest[len("text_model."):]
+            if "position_ids" in rest:
+                continue
+            name, leaf = rest.rsplit(".", 1)
+            is_emb = "embedding" in name
+            _place(flats["clip"], map_clip_key(name), v, leaf,
+                   is_embedding=is_emb)
+        # other keys (ema, model_ema, betas buffers, logvar) are derived
+        # state we recompute — skipped.
+
+    out = {}
+    for part, flat in flats.items():
+        tmpl = flatten_names(templates[part])
+        missing = set(tmpl) - set(flat)
+        extra = set(flat) - set(tmpl)
+        if missing or extra:
+            raise KeyError(
+                f"{part} import mismatch: missing={sorted(missing)[:8]} "
+                f"extra={sorted(extra)[:8]}"
+            )
+        for k in tmpl:
+            assert flat[k].shape == tmpl[k].shape, (
+                part, k, flat[k].shape, tmpl[k].shape)
+        out[part] = tree_from_flat({k: jnp.asarray(flat[k]) for k in tmpl})
+    return out
+
+
+def export_compvis_unet(unet_params) -> dict:
+    """Our unet params → CompVis-keyed numpy dict (for saving checkpoints
+    other tools can read — random_label.py:175-190 saves CompVis format)."""
+    from salun.utils.tree import flatten_names
+
+    inv = {}
+    for k, v in flatten_names(unet_params).items():
+        arr = np.asarray(v)
+        name = k.replace("/", ".")
+        name = re.sub(r"(input_blocks|output_blocks)_(\d+)_(\d+)\.",
+                      r"\1.\2.\3.", name)
+        name = re.sub(r"middle_block_(\d+)\.", r"middle_block.\1.", name)
+        name = re.sub(r"transformer_blocks_(\d+)\.", r"transformer_blocks.\1.",
+                      name)
+        name = name.replace("in_layers_0", "in_layers.0")
+        name = name.replace("in_layers_2", "in_layers.2")
+        name = name.replace("emb_layers_1", "emb_layers.1")
+        name = name.replace("out_layers_0", "out_layers.0")
+        name = name.replace("out_layers_3", "out_layers.3")
+        name = name.replace("to_out_0", "to_out.0")
+        name = name.replace("ff.net_0_proj", "ff.net.0.proj")
+        name = name.replace("ff.net_2", "ff.net.2")
+        name = re.sub(r"time_embed_(\d+)", r"time_embed.\1", name)
+        name = re.sub(r"^out_(\d+)", r"out.\1", name)
+        if name.endswith(".kernel"):
+            base = name[: -len(".kernel")]
+            if arr.ndim == 4:
+                inv[base + ".weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                inv[base + ".weight"] = arr.T
+        elif name.endswith(".scale"):
+            inv[name[: -len(".scale")] + ".weight"] = arr
+        else:
+            inv[name] = arr
+    return inv

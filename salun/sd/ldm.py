@@ -1,0 +1,189 @@
+"""LatentDiffusion — the SD v1 wrapper tying UNet + VAE + CLIP together.
+
+Capability parity with the *used subset* of
+SD/ldm/models/diffusion/ddpm.py (SURVEY.md §2.4): ``register_schedule``
+(ddpm.py:153-246, ldm "linear" = √-space linspace), ``get_input`` (VAE
+encode ×0.18215 + CLIP encode, ddpm.py:913-973), ``q_sample``
+(ddpm.py:424-430), ``apply_model`` (ddpm.py:1121-1262, plain path),
+``p_losses``/``shared_step`` (ddpm.py:1093-1096, 1286-1319), and DDIM
+sampling with CFG (ldm/models/diffusion/ddim.py:22-504 /
+SD/eval-scripts/generate-images.py).
+
+Design: a frozen ``SDModules`` bundle (model defs) + a params dict
+{"unet", "vae", "clip"}; every op is a pure jittable function. The unused
+~8.5k LoC of CompVis ballast (LatentUpscale/Inpaint/… ddpm.py:2004-2583) is
+deliberately NOT reproduced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salun.diffusion.sampling import generalized_steps
+from salun.diffusion.schedules import DiffusionSchedule
+
+from .clip_text import CLIPTextConfig, CLIPTextModel, tokenize
+from .unet import SDUNet, SDUNetConfig
+from .vae import AutoencoderKL, VAEConfig
+
+
+def sd_schedule(num_timesteps: int = 1000, linear_start: float = 0.00085,
+                linear_end: float = 0.012) -> DiffusionSchedule:
+    """ldm 'linear' schedule = linspace in √β space (util.py:21-45),
+    i.e. the DDPM 'quad' schedule with SD's endpoints."""
+    return DiffusionSchedule.create(
+        beta_schedule="quad", beta_start=linear_start, beta_end=linear_end,
+        num_diffusion_timesteps=num_timesteps, var_type="fixedsmall",
+    )
+
+
+@dataclass(frozen=True)
+class SDModules:
+    unet: SDUNet
+    vae: AutoencoderKL
+    clip: CLIPTextModel
+    schedule: DiffusionSchedule
+    scale_factor: float = 0.18215
+
+    @classmethod
+    def create(cls, unet_cfg: Optional[SDUNetConfig] = None,
+               vae_cfg: Optional[VAEConfig] = None,
+               clip_cfg: Optional[CLIPTextConfig] = None,
+               num_timesteps: int = 1000):
+        unet_cfg = unet_cfg or SDUNetConfig()
+        vae_cfg = vae_cfg or VAEConfig()
+        clip_cfg = clip_cfg or CLIPTextConfig()
+        return cls(
+            unet=SDUNet(unet_cfg), vae=AutoencoderKL(vae_cfg),
+            clip=CLIPTextModel(clip_cfg), schedule=sd_schedule(num_timesteps),
+            scale_factor=vae_cfg.scale_factor,
+        )
+
+    # ------------------------------------------------------------ stages
+
+    def init(self, key, image_size: int = 64):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        zc = self.vae.cfg.z_channels
+        unet_p = self.unet.init(
+            k1, jnp.zeros((1, image_size, image_size, zc)), jnp.zeros((1,)),
+            jnp.zeros((1, self.clip.cfg.max_length, self.clip.cfg.hidden_size)),
+        )["params"]
+        vae_p = self.vae.init(
+            k2, jnp.zeros((1, image_size * 8, image_size * 8, 3)), k4
+        )["params"]
+        clip_p = self.clip.init(
+            k3, jnp.zeros((1, self.clip.cfg.max_length), jnp.int32)
+        )["params"]
+        return {"unet": unet_p, "vae": vae_p, "clip": clip_p}
+
+    def encode_text(self, params, input_ids):
+        """Frozen CLIP context (ddpm.py get_learned_conditioning)."""
+        return self.clip.apply({"params": params["clip"]}, input_ids)
+
+    def encode_image(self, params, images, key):
+        """[−1,1] NHWC → scaled latent sample (get_input, ddpm.py:913-973)."""
+        z = self.vae.apply({"params": params["vae"]}, images, key,
+                           method=AutoencoderKL.encode_sample)
+        return z * self.scale_factor
+
+    def decode_latent(self, params, z):
+        return self.vae.apply({"params": params["vae"]},
+                              z / self.scale_factor,
+                              method=AutoencoderKL.decode)
+
+    def apply_model(self, params, z_t, t, context):
+        """eps prediction (DiffusionWrapper crossattn path, ddpm.py:1961)."""
+        return self.unet.apply({"params": params["unet"]}, z_t,
+                               t.astype(jnp.float32), context)
+
+    def q_sample(self, z0, t, noise):
+        a = self.schedule.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        return jnp.sqrt(a) * z0 + jnp.sqrt(1.0 - a) * noise
+
+    # ------------------------------------------------------------ losses
+
+    def p_losses(self, params, z0, context, t, noise):
+        """loss_simple: per-sample-mean eps MSE, batch mean
+        (ddpm.py:1286-1319 with l_simple_weight=1, elbo weight 0)."""
+        z_t = self.q_sample(z0, t, noise)
+        out = self.apply_model(params, z_t, t, context)
+        return jnp.square(noise - out).mean(axis=(1, 2, 3)).mean()
+
+    def shared_step(self, params, images, input_ids, key):
+        """get_input + p_losses (ddpm.py:1093-1096)."""
+        ke, kt, kn = jax.random.split(key, 3)
+        z0 = self.encode_image(params, images, ke)
+        context = self.encode_text(params, input_ids)
+        t = jax.random.randint(kt, (images.shape[0],), 0,
+                               self.schedule.num_timesteps)
+        noise = jax.random.normal(kn, z0.shape)
+        return self.p_losses(params, z0, context, t, noise)
+
+    # ------------------------------------------------------------ sampling
+
+    def cfg_eps_fn(self, params, cond_ctx, uncond_ctx, guidance: float):
+        """One stacked forward for cond+uncond (TPU CFG trick), combined as
+        e_∅ + g·(e_c − e_∅) (generate-images.py / DDIMSampler CFG)."""
+
+        def eps_fn(z, t):
+            b = z.shape[0]
+            z2 = jnp.concatenate([z, z], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx = jnp.concatenate([cond_ctx, uncond_ctx], axis=0)
+            e2 = self.apply_model(params, z2, t2, ctx)
+            e_c, e_u = e2[:b], e2[b:]
+            return e_u + guidance * (e_c - e_u)
+
+        return eps_fn
+
+    def sample(self, params, key, prompts, *, negative_prompts=None,
+               guidance: float = 7.5, steps: int = 50, image_size: int = 64,
+               eta: float = 0.0, return_latents: bool = False):
+        """Text → images in [0,1] via DDIM (ddim.py / generate-images.py)."""
+        n = len(prompts)
+        max_len = self.clip.cfg.max_length
+        ids_c = jnp.asarray(tokenize(prompts, max_len))
+        ids_u = jnp.asarray(tokenize(negative_prompts or [""] * n, max_len))
+        ctx_c = self.encode_text(params, ids_c)
+        ctx_u = self.encode_text(params, ids_u)
+
+        T = self.schedule.num_timesteps
+        seq = list(range(0, T, T // steps))
+        key, nk = jax.random.split(key)
+        z = jax.random.normal(
+            nk, (n, image_size, image_size, self.vae.cfg.z_channels)
+        )
+        eps_fn = self.cfg_eps_fn(params, ctx_c, ctx_u, guidance)
+        z, _ = generalized_steps(eps_fn, z, seq, self.schedule, eta=eta,
+                                 key=key)
+        if return_latents:
+            return z
+        img = self.decode_latent(params, z)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    def partial_sample_latent(self, params, key, ctx, *, t_target: int,
+                              steps: int, image_size: int,
+                              guidance: float = 0.0, uncond_ctx=None):
+        """Denoise from pure noise down to timestep ``t_target`` — the ESD
+        partial-denoise trick (SD/train-scripts/train-esd.py:240-291)."""
+        T = self.schedule.num_timesteps
+        step_size = T // steps
+        seq = list(range(t_target, T, step_size))
+        n = ctx.shape[0]
+        key, nk = jax.random.split(key)
+        z = jax.random.normal(
+            nk, (n, image_size, image_size, self.vae.cfg.z_channels)
+        )
+        if guidance and uncond_ctx is not None:
+            eps_fn = self.cfg_eps_fn(params, ctx, uncond_ctx, guidance)
+        else:
+            def eps_fn(zz, tt):
+                return self.apply_model(params, zz, tt, ctx)
+        z, _ = generalized_steps(eps_fn, z, seq, self.schedule, key=key)
+        return z

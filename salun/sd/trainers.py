@@ -1,0 +1,325 @@
+"""SD concept-erasure trainers.
+
+Parity with the SD/train-scripts family:
+- ``generate_mask``      (generate_mask.py:8-211): |Σ∇| of the negated
+  CFG-combined eps-MSE on the forget prompts, UNet params only, top-50%.
+- ``random_label`` SalUn (random_label.py:13-156): remain shared_step loss +
+  MSE(eps(forget z_t, forget prompt), eps(forget z_t, pseudo prompt).detach()),
+  total = forget + α·remain, grads masked, Adam over full/xattn subsets.
+- ``gradient_ascent``    (gradient_ascent.py:14-121): −shared_step(forget) +
+  α·shared_step(remain).
+- ``nsfw_removal``       (nsfw_removal.py:33-323): random_label recipe with
+  the fixed prompt pair nude→clothes over generated-image folders.
+- ``proximal_gradient``  (proximal_gradient.py:18-383): RL + post-step
+  global soft-threshold toward θ_init (mask-free SalUn) — the reference
+  needs a second GPU as flat-copy scratch (proximal_gradient.py:66-73);
+  here it's the sharded bisection threshold, no extra device.
+- ``esd``                (train-esd.py:129-343): partial-denoise to z_t,
+  teacher target e_0 − g·(e_p − e_0) from frozen params, student e_n on the
+  erased prompt; the reference splits teacher/student across two GPUs —
+  here both are param pytrees in one jitted step (SURVEY.md §2.5).
+
+Trainable-parameter subsets (train-esd.py:205-236): noxattn / selfattn /
+xattn / full / notime / xlayer / selflayer as pytree-path predicates
+instead of name-string loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from salun.core.mask import generate_masks
+from salun.dist.topk import _bisect_kth, _f32_to_ordered_u32, _ordered_u32_to_f32
+from salun.utils.tree import flatten_names, tree_from_flat, tree_size
+
+from .clip_text import tokenize
+from .data import DESCRIPTIONS
+from .ldm import SDModules
+
+
+# ------------------------------------------------------- trainable subsets
+
+
+def _subset_pred(train_method: str):
+    """flat-name predicate for each train_method (train-esd.py:205-236)."""
+
+    def pred(name: str) -> bool:
+        if train_method == "full":
+            return True
+        if train_method == "xattn":
+            return "attn2" in name
+        if train_method == "selfattn":
+            return "attn1" in name
+        if train_method == "noxattn":
+            return not (name.startswith("out_") or "attn2" in name
+                        or "time_embed" in name)
+        if train_method == "notime":
+            return not (name.startswith("out_") or "time_embed" in name)
+        if train_method == "xlayer":
+            return "attn2" in name and (
+                "output_blocks_6_" in name or "output_blocks_8_" in name)
+        if train_method == "selflayer":
+            return "attn1" in name and (
+                "input_blocks_4_" in name or "input_blocks_7_" in name)
+        raise ValueError(train_method)
+
+    return pred
+
+
+def trainable_mask(unet_params, train_method: str):
+    """Boolean pytree marking trainable UNet leaves."""
+    pred = _subset_pred(train_method)
+    flat = flatten_names(unet_params)
+    return tree_from_flat({k: pred(k) for k in flat})
+
+
+def make_sd_optimizer(unet_params, lr: float, train_method: str = "full"):
+    """Adam over the selected subset (random_label.py:46-56); frozen leaves
+    get zero updates and no moment state (optax.masked)."""
+    tmask = trainable_mask(unet_params, train_method)
+    not_tmask = jax.tree.map(lambda b: not b, tmask)
+    # optax.masked leaves unmasked updates untouched — explicitly zero the
+    # complement so frozen leaves get exactly zero update.
+    return optax.chain(
+        optax.masked(optax.adam(lr), tmask),
+        optax.masked(optax.set_to_zero(), not_tmask),
+    )
+
+
+# ----------------------------------------------------------- mask gen
+
+
+def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
+                     key, *, guidance: float = 7.5, batch_size: int = 4,
+                     thresholds=(0.5,)):
+    """Saliency over UNet params from loss = −MSE(noise, CFG eps)
+    (SD/train-scripts/generate_mask.py:34-108)."""
+    max_len = modules.clip.cfg.max_length
+    ids_c = jnp.asarray(tokenize(prompts, max_len))
+    ids_u = jnp.asarray(tokenize([""] * len(prompts), max_len))
+    T = modules.schedule.num_timesteps
+
+    def loss_fn(unet_params, z0, ctx_c, ctx_u, t, noise):
+        p = dict(params, unet=unet_params)
+        z_t = modules.q_sample(z0, t, noise)
+        z2 = jnp.concatenate([z_t, z_t])
+        t2 = jnp.concatenate([t, t])
+        ctx = jnp.concatenate([ctx_c, ctx_u])
+        e2 = modules.apply_model(p, z2, t2, ctx)
+        b = z_t.shape[0]
+        # (1+g)·e_c − g·e_∅ (generate_mask.py:60)
+        eps = (1 + guidance) * e2[:b] - guidance * e2[b:]
+        return -jnp.square(noise - eps).mean()
+
+    @jax.jit
+    def acc_batch(acc, imgs, idx_c, idx_u, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        z0 = modules.encode_image(params, imgs, k1)
+        ctx_c = modules.encode_text(params, idx_c)
+        ctx_u = modules.encode_text(params, idx_u)
+        t = jax.random.randint(k2, (imgs.shape[0],), 0, T)
+        noise = jax.random.normal(k3, z0.shape)
+        g = jax.grad(loss_fn)(params["unet"], z0, ctx_c, ctx_u, t, noise)
+        return jax.tree.map(lambda a, b_: a + b_.astype(jnp.float32), acc, g)
+
+    acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                       params["unet"])
+    n = len(forget_images)
+    for i in range(0, n, batch_size):
+        key, sub = jax.random.split(key)
+        imgs = jnp.asarray(forget_images[i : i + batch_size])
+        m = imgs.shape[0]
+        acc = acc_batch(acc, imgs, ids_c[i : i + m] if len(ids_c) == n
+                        else ids_c[:m], ids_u[:m], sub)
+    abs_sal = jax.tree.map(jnp.abs, acc)
+    return generate_masks(abs_sal, thresholds)
+
+
+# ----------------------------------------------------------- RL / GA
+
+
+def make_random_label_step(modules: SDModules, tx, mask=None,
+                           alpha: float = 0.5):
+    """certain_label step (random_label.py:66-143)."""
+    T = modules.schedule.num_timesteps
+
+    def loss_fn(unet_params, frozen, batch, key):
+        params = dict(frozen, unet=unet_params)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        remain_loss = modules.shared_step(
+            params, batch["remain_images"], batch["remain_ids"], k1)
+
+        z_f = modules.encode_image(params, batch["forget_images"], k2)
+        ctx_f = modules.encode_text(params, batch["forget_ids"])
+        ctx_p = modules.encode_text(params, batch["pseudo_ids"])
+        t = jax.random.randint(k3, (z_f.shape[0],), 0, T)
+        noise = jax.random.normal(k4, z_f.shape)
+        z_t = modules.q_sample(z_f, t, noise)
+        out = modules.apply_model(params, z_t, t, ctx_f)
+        pseudo = jax.lax.stop_gradient(
+            modules.apply_model(params, z_t, t, ctx_p))
+        forget_loss = jnp.mean(jnp.square(out - pseudo))
+        return forget_loss + alpha * remain_loss
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(carry, frozen, batch, key):
+        unet_params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(unet_params, frozen, batch,
+                                                  key)
+        if mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads,
+                                 mask)
+        updates, opt_state = tx.update(grads, opt_state, unet_params)
+        unet_params = optax.apply_updates(unet_params, updates)
+        return (unet_params, opt_state), loss
+
+    return step
+
+
+def make_gradient_ascent_step(modules: SDModules, tx, mask=None,
+                              alpha: float = 0.5):
+    """−shared_step(forget) + α·shared_step(remain)
+    (gradient_ascent.py:14-121)."""
+
+    def loss_fn(unet_params, frozen, batch, key):
+        params = dict(frozen, unet=unet_params)
+        k1, k2 = jax.random.split(key)
+        forget = modules.shared_step(params, batch["forget_images"],
+                                     batch["forget_ids"], k1)
+        remain = modules.shared_step(params, batch["remain_images"],
+                                     batch["remain_ids"], k2)
+        return -forget + alpha * remain
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(carry, frozen, batch, key):
+        unet_params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(unet_params, frozen, batch,
+                                                  key)
+        if mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads,
+                                 mask)
+        updates, opt_state = tx.update(grads, opt_state, unet_params)
+        unet_params = optax.apply_updates(unet_params, updates)
+        return (unet_params, opt_state), loss
+
+    return step
+
+
+# nsfw_removal = random_label with fixed prompt pair (nsfw_removal.py:83-104)
+make_nsfw_removal_step = make_random_label_step
+
+
+# ----------------------------------------------------------- proximal
+
+
+@partial(jax.jit, donate_argnums=0)
+def proximal_shrink(unet_params, theta_init, ratio):
+    """Global soft-threshold toward θ_init (proximal_gradient.py:144-180) —
+    exact bisection threshold over the UNet pytree, no flat copy."""
+    diffs = jax.tree.map(lambda p, t0: (p - t0).astype(jnp.float32),
+                         unet_params, theta_init)
+    ords = [_f32_to_ordered_u32(jnp.abs(d).reshape(-1))
+            for d in jax.tree.leaves(diffs)]
+    n = sum(o.size for o in ords)
+    k_largest = jnp.maximum(n - ratio + 1, 1)
+    tau_u = _bisect_kth(lambda v: sum(jnp.sum(o >= v) for o in ords),
+                        k_largest.astype(jnp.int32))
+    tau = _ordered_u32_to_f32(tau_u)
+
+    def shrink(p, t0, d):
+        moved = p.astype(jnp.float32) - jnp.sign(d) * tau
+        return jnp.where(jnp.abs(d) > tau, moved,
+                         t0.astype(jnp.float32)).astype(p.dtype)
+
+    return jax.tree.map(shrink, unet_params, theta_init, diffs)
+
+
+# ----------------------------------------------------------- ESD
+
+
+def make_esd_step(modules: SDModules, tx, mask=None,
+                  negative_guidance: float = 1.0,
+                  start_guidance: float = 3.0, ddim_steps: int = 50,
+                  image_size: int = 64):
+    """ESD step (train-esd.py:270-311): sample z_t from the *student* with
+    the concept prompt (no grad), targets from the *frozen teacher*:
+    e_target = e_0 − g·(e_p − e_0); loss = MSE(e_n, e_target)."""
+    T = modules.schedule.num_timesteps
+
+    def step(carry, frozen_params, ctx_p, ctx_0, ctx_n, key):
+        unet_params, opt_state = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        # t_enc: DDIM step index then a DDPM timestep inside that bucket
+        t_enc = jax.random.randint(k1, (), 0, ddim_steps)
+        og = (t_enc * T) // ddim_steps
+        og_lim = ((t_enc + 1) * T) // ddim_steps
+        t_ddpm = jax.random.randint(k2, (1,), og, jnp.maximum(og_lim, og + 1))
+
+        student = dict(frozen_params, unet=unet_params)
+        z = _partial_denoise(modules, student, ctx_p, t_enc, ddim_steps,
+                             image_size, start_guidance, ctx_0, k3)
+        z = jax.lax.stop_gradient(z)
+
+        e_0 = jax.lax.stop_gradient(
+            modules.apply_model(frozen_params, z, t_ddpm, ctx_0))
+        e_p = jax.lax.stop_gradient(
+            modules.apply_model(frozen_params, z, t_ddpm, ctx_p))
+        target = e_0 - negative_guidance * (e_p - e_0)
+
+        def loss_fn(up):
+            e_n = modules.apply_model(dict(frozen_params, unet=up), z,
+                                      t_ddpm, ctx_n)
+            return jnp.mean(jnp.square(e_n - target))
+
+        loss, grads = jax.value_and_grad(loss_fn)(unet_params)
+        if mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads,
+                                 mask)
+        updates, opt_state = tx.update(grads, opt_state, unet_params)
+        unet_params = optax.apply_updates(unet_params, updates)
+        return (unet_params, opt_state), loss
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def _partial_denoise(modules, params, ctx, t_enc, ddim_steps, image_size,
+                     guidance, ctx_0, key):
+    """Denoise from T down to DDIM step t_enc (quick_sample_till_t,
+    train-esd.py:240-252) — fixed-length scan with masked tail steps so the
+    traced shape is static."""
+    from salun.diffusion.sampling import _seq_pairs
+
+    T = modules.schedule.num_timesteps
+    step_size = T // ddim_steps
+    seq = list(range(0, T, step_size))
+    ts, ts_next = _seq_pairs(seq)
+    n = ctx.shape[0]
+    key, nk = jax.random.split(key)
+    z = jax.random.normal(nk, (n, image_size, image_size,
+                               modules.vae.cfg.z_channels))
+    eps_fn = modules.cfg_eps_fn(params, ctx, ctx_0, guidance)
+    sched = modules.schedule
+
+    def body(carry, t_pair):
+        z, k = carry
+        i, j = t_pair
+        active = i >= t_enc * step_size  # stop below the target step
+        t = jnp.full((n,), i, jnp.int32)
+        at = sched.alpha_bar(t).reshape(-1, 1, 1, 1)
+        at_next = sched.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(
+            -1, 1, 1, 1)
+        et = eps_fn(z, t.astype(jnp.float32))
+        x0_t = (z - et * jnp.sqrt(1 - at)) / jnp.sqrt(at)
+        z_next = jnp.sqrt(at_next) * x0_t + jnp.sqrt(1 - at_next) * et
+        z = jnp.where(active, z_next, z)
+        return (z, k), None
+
+    (z, _), _ = jax.lax.scan(body, (z, key),
+                             jnp.stack([ts, ts_next], axis=1))
+    return z

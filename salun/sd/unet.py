@@ -1,0 +1,264 @@
+"""Stable-Diffusion U-Net (CompVis ``UNetModel``) in flax.
+
+Capability parity with SD/ldm/modules/diffusionmodules/openaimodel.py:428-1064
+for the sd-v1 configuration (SD/configs/stable-diffusion/v1-inference.yaml:
+in/out 4ch latents, model_channels 320, channel_mult [1,2,4,4],
+num_res_blocks 2, attention at ds∈{1,2,4}, 8 heads, SpatialTransformer depth
+1 with 768-d CLIP context) plus the ResBlock / SpatialTransformer /
+CrossAttention / GEGLU blocks (openaimodel.py:177-290,
+ldm/modules/attention.py:37-303).
+
+TPU-first:
+- NHWC; attention via salun.kernels (Pallas flash attention when aligned) —
+  no [N,N] score materialization, so the reference's gradient checkpointing
+  (ldm/modules/diffusionmodules/util.py:124-171) is unnecessary; jax.remat
+  can still wrap blocks for very large batches.
+- Module names mirror the CompVis state-dict layout
+  (``input_blocks_4_1/transformer_blocks_0/attn2/to_k``) so checkpoint
+  import (salun.sd.import_ckpt) is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from salun.diffusion.unet import timestep_embedding
+from salun.kernels.attention import multi_head_attention
+
+
+@dataclass(frozen=True)
+class SDUNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+
+def _gn32(x, name, eps=1e-5, dtype=jnp.float32):
+    return nn.GroupNorm(num_groups=32, epsilon=eps, dtype=dtype,
+                        param_dtype=jnp.float32, name=name)(x)
+
+
+class CrossAttention(nn.Module):
+    """attention.py:149-194; context=None → self-attention."""
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = multi_head_attention(q, k, v, self.heads,
+                                   scale=self.dim_head ** -0.5)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU FF (attention.py:37-63)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult)
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        ln = lambda n: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                                    name=n)
+        x = CrossAttention(self.heads, self.dim_head, self.dim, self.dtype,
+                           name="attn1")(ln("norm1")(x)) + x
+        x = CrossAttention(self.heads, self.dim_head, self.dim, self.dtype,
+                           name="attn2")(ln("norm2")(x), context) + x
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            ln("norm3")(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """attention.py:246-303: GN → 1x1 in → blocks → 1x1 out (zero-init) + res."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        y = _gn32(x, "norm", eps=1e-6, dtype=self.dtype)
+        y = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(b, h * w, inner)
+        for d in range(self.depth):
+            y = BasicTransformerBlock(
+                inner, self.heads, self.dim_head, self.context_dim,
+                self.dtype, name=f"transformer_blocks_{d}",
+            )(y, context)
+        y = y.reshape(b, h, w, inner)
+        y = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="proj_out")(y)
+        return x + y
+
+
+class ResBlock(nn.Module):
+    """openaimodel.py:177-290 (no scale-shift in sd-v1; out conv zero-init)."""
+
+    out_ch: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, train: bool = False):
+        h = _gn32(x, "in_layers_0", dtype=self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_layers_2")(h)
+        e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_layers_1")(
+            nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = _gn32(h, "out_layers_0", dtype=self.dtype)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="out_layers_3")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        name="skip_connection")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(x.shape[-1], (3, 3), strides=2, padding=1,
+                       dtype=self.dtype, name="op")(x)
+
+
+class Upsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class SDUNet(nn.Module):
+    cfg: SDUNetConfig
+
+    @nn.compact
+    def __call__(self, x, t, context, train: bool = False):
+        """x: NHWC latents; t: float timesteps; context: [B, L, 768]."""
+        c = self.cfg
+        dt = c.dtype
+        time_dim = c.model_channels * 4
+
+        emb = timestep_embedding(t, c.model_channels)
+        emb = nn.Dense(time_dim, dtype=dt, name="time_embed_0")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(time_dim, dtype=dt, name="time_embed_2")(emb)
+
+        def res(i, j, ch, h):
+            return ResBlock(ch, c.dropout, dt,
+                            name=f"input_blocks_{i}_{j}")(h, emb, train)
+
+        heads = c.num_heads
+
+        hs = []
+        h = nn.Conv(c.model_channels, (3, 3), padding=1, dtype=dt,
+                    name="input_blocks_0_0")(x.astype(dt))
+        hs.append(h)
+
+        ds = 1
+        block_i = 1
+        input_chs = [c.model_channels]
+        for level, mult in enumerate(c.channel_mult):
+            ch = mult * c.model_channels
+            for _ in range(c.num_res_blocks):
+                h = ResBlock(ch, c.dropout, dt,
+                             name=f"input_blocks_{block_i}_0")(h, emb, train)
+                if ds in c.attention_resolutions:
+                    h = SpatialTransformer(
+                        ch, heads, ch // heads, c.transformer_depth,
+                        c.context_dim, dt, name=f"input_blocks_{block_i}_1",
+                    )(h, context)
+                hs.append(h)
+                input_chs.append(ch)
+                block_i += 1
+            if level != len(c.channel_mult) - 1:
+                h = Downsample(dt, name=f"input_blocks_{block_i}_0")(h)
+                hs.append(h)
+                input_chs.append(ch)
+                block_i += 1
+                ds *= 2
+
+        ch = c.channel_mult[-1] * c.model_channels
+        h = ResBlock(ch, c.dropout, dt, name="middle_block_0")(h, emb, train)
+        h = SpatialTransformer(ch, heads, ch // heads, c.transformer_depth,
+                               c.context_dim, dt, name="middle_block_1")(
+            h, context)
+        h = ResBlock(ch, c.dropout, dt, name="middle_block_2")(h, emb, train)
+
+        block_i = 0
+        for level, mult in reversed(list(enumerate(c.channel_mult))):
+            ch = mult * c.model_channels
+            for j in range(c.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResBlock(ch, c.dropout, dt,
+                             name=f"output_blocks_{block_i}_0")(h, emb, train)
+                sub = 1
+                if ds in c.attention_resolutions:
+                    h = SpatialTransformer(
+                        ch, heads, ch // heads, c.transformer_depth,
+                        c.context_dim, dt,
+                        name=f"output_blocks_{block_i}_1",
+                    )(h, context)
+                    sub = 2
+                if level and j == c.num_res_blocks:
+                    h = Upsample(dt, name=f"output_blocks_{block_i}_{sub}")(h)
+                    ds //= 2
+                block_i += 1
+
+        h = _gn32(h, "out_0", dtype=dt)
+        h = nn.silu(h)
+        h = nn.Conv(c.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+                    kernel_init=nn.initializers.zeros, name="out_2")(h)
+        return h

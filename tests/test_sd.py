@@ -1,0 +1,176 @@
+"""SD stack tests on a tiny LatentDiffusion config (SURVEY.md §7 stage 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salun.sd import (
+    AutoencoderKL, CLIPTextConfig, SDModules, SDUNetConfig, VAEConfig,
+)
+from salun.sd.import_ckpt import export_compvis_unet, import_compvis
+from salun.sd.trainers import (
+    make_esd_step, make_random_label_step, make_sd_optimizer, proximal_shrink,
+    sd_generate_mask, trainable_mask,
+)
+
+TINY_UNET = SDUNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                         num_res_blocks=1, attention_resolutions=(1, 2),
+                         channel_mult=(1, 2), num_heads=2, context_dim=24,
+                         transformer_depth=1)
+TINY_VAE = VAEConfig(ch=32, ch_mult=(1, 2, 2, 2), num_res_blocks=1,
+                     z_channels=4, embed_dim=4)
+TINY_CLIP = CLIPTextConfig(vocab_size=49408, hidden_size=24, num_layers=2,
+                           num_heads=2, max_length=8)
+
+LATENT = 8
+IMG = LATENT * 8
+
+
+@pytest.fixture(scope="module")
+def modules():
+    return SDModules.create(TINY_UNET, TINY_VAE, TINY_CLIP, num_timesteps=40)
+
+
+@pytest.fixture(scope="module")
+def params(modules):
+    return modules.init(jax.random.PRNGKey(0), image_size=LATENT)
+
+
+def test_unet_forward(modules, params):
+    z = jnp.zeros((2, LATENT, LATENT, 4))
+    t = jnp.zeros((2,))
+    ctx = jnp.zeros((2, 8, 24))
+    out = modules.apply_model(params, z, t, ctx)
+    assert out.shape == (2, LATENT, LATENT, 4)
+
+
+def test_vae_roundtrip_shapes(modules, params):
+    x = jnp.zeros((1, IMG, IMG, 3))
+    z = modules.encode_image(params, x, jax.random.PRNGKey(1))
+    assert z.shape == (1, LATENT, LATENT, 4)
+    img = modules.decode_latent(params, z)
+    assert img.shape == (1, IMG, IMG, 3)
+
+
+def test_shared_step_finite(modules, params):
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (2, IMG, IMG, 3)) * 2 - 1
+    ids = jnp.zeros((2, 8), jnp.int32)
+    loss = modules.shared_step(params, imgs, ids, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+
+def test_trainable_subsets(params):
+    import jax
+
+    from salun.utils.tree import flatten_names
+
+    for method in ("full", "xattn", "selfattn", "noxattn", "notime"):
+        tm = trainable_mask(params["unet"], method)
+        flat = flatten_names(tm)
+        n_true = sum(bool(v) for v in flat.values())
+        assert n_true > 0, method
+        if method == "xattn":
+            assert all("attn2" in k for k, v in flat.items() if v)
+        if method == "full":
+            assert n_true == len(flat)
+
+
+def test_random_label_step_runs(modules, params):
+    # zero-init proj_out blocks grads into attn2 at init (correct parity);
+    # perturb params so gradient flow is realistic
+    keys = jax.random.split(jax.random.PRNGKey(9),
+                            len(jax.tree.leaves(params["unet"])))
+    leaves, treedef = jax.tree.flatten(params["unet"])
+    unet_p = jax.tree.unflatten(treedef, [
+        l + 0.02 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)
+    ])
+    tx = make_sd_optimizer(unet_p, 1e-4, "xattn")
+    step = make_random_label_step(modules, tx, alpha=0.5)
+    unet0 = jax.tree.map(jnp.copy, unet_p)
+    carry = (jax.tree.map(jnp.copy, unet_p), tx.init(unet_p))
+    batch = {
+        "remain_images": jax.random.uniform(jax.random.PRNGKey(1),
+                                            (2, IMG, IMG, 3)) * 2 - 1,
+        "remain_ids": jnp.zeros((2, 8), jnp.int32),
+        "forget_images": jax.random.uniform(jax.random.PRNGKey(2),
+                                            (2, IMG, IMG, 3)) * 2 - 1,
+        "forget_ids": jnp.ones((2, 8), jnp.int32),
+        "pseudo_ids": 2 * jnp.ones((2, 8), jnp.int32),
+    }
+    frozen = {k: v for k, v in params.items()}
+    carry, loss = step(carry, frozen, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+    # only attn2 leaves moved
+    from salun.utils.tree import flatten_names
+
+    moved = {
+        k: not np.allclose(np.asarray(a), np.asarray(b))
+        for (k, a), b in zip(flatten_names(carry[0]).items(),
+                             flatten_names(unet0).values())
+    }
+    assert any(moved.values())
+    for k, m in moved.items():
+        if m:
+            assert "attn2" in k, k
+
+
+def test_generate_mask_sd(modules, params):
+    imgs = (np.random.RandomState(0).rand(4, IMG, IMG, 3) * 2 - 1).astype(
+        np.float32)
+    masks = sd_generate_mask(modules, params, imgs, ["x"] * 4,
+                             jax.random.PRNGKey(0), batch_size=2,
+                             thresholds=(0.5,))
+    m = masks[0.5]
+    total = sum(int(x.size) for x in jax.tree.leaves(m))
+    ones = sum(float(x.sum()) for x in jax.tree.leaves(m))
+    assert abs(ones - int(total * 0.5)) < 1
+
+
+def test_esd_step_runs(modules, params):
+    tx = make_sd_optimizer(params["unet"], 1e-5, "xattn")
+    step = make_esd_step(modules, tx, ddim_steps=4, image_size=LATENT)
+    carry = (jax.tree.map(jnp.copy, params["unet"]), tx.init(params["unet"]))
+    ctx = jnp.zeros((1, 8, 24))
+    carry, loss = step(carry, params, ctx, ctx, ctx, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_proximal_shrink_pins(modules, params):
+    theta0 = jax.tree.map(jnp.copy, params["unet"])
+    moved = jax.tree.map(lambda p: p + 0.01, params["unet"])
+    n = sum(int(x.size) for x in jax.tree.leaves(moved))
+    out = proximal_shrink(moved, theta0, jnp.int32(n))  # pin everything
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(theta0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_compvis_roundtrip(modules, params):
+    """export → rename to CompVis keys → import must be identity (unet)."""
+    sd = {
+        "model.diffusion_model." + k: v
+        for k, v in export_compvis_unet(params["unet"]).items()
+    }
+    # vae + clip keys from templates' own export path are exercised via
+    # import_compvis only for the unet here; build fake full sd with
+    # templates for vae/clip by skipping them
+    out = None
+    try:
+        out = import_compvis(sd, {"unet": params["unet"], "vae": {},
+                                  "clip": {}})
+    except KeyError:
+        # vae/clip missing is expected; import unet-only via private path
+        from salun.sd.import_ckpt import _place, map_unet_key
+        from salun.utils.tree import flatten_names, tree_from_flat
+
+        flat = {}
+        for key, tensor in sd.items():
+            rest = key[len("model.diffusion_model."):]
+            name, leaf = rest.rsplit(".", 1)
+            _place(flat, map_unet_key(name), np.asarray(tensor), leaf)
+        tmpl = flatten_names(params["unet"])
+        assert set(flat) == set(tmpl)
+        out = {"unet": tree_from_flat({k: jnp.asarray(flat[k]) for k in tmpl})}
+    for a, b in zip(jax.tree.leaves(out["unet"]),
+                    jax.tree.leaves(params["unet"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
