@@ -42,6 +42,15 @@ def scaled_dot_attention(
 
 
 def _use_flash(q, k) -> bool:
+    import os
+
+    if os.environ.get("SALUN_DISABLE_FLASH"):
+        return False
+    # The axon TPU tunnel (remote Mosaic compile) can't build Pallas kernels;
+    # fall back to the XLA path there unless explicitly forced.
+    if (os.environ.get("PALLAS_AXON_POOL_IPS")
+            and not os.environ.get("SALUN_FORCE_FLASH")):
+        return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:

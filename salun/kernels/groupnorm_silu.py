@@ -1,0 +1,64 @@
+"""Fused GroupNorm+SiLU Pallas kernel.
+
+Every ResNet/U-Net block in the diffusion models does GroupNorm → SiLU →
+conv (DDPM models/diffusion.py:42-46 Normalize + nonlinearity; SD
+openaimodel/vae the same). XLA fuses most of this already; this kernel
+guarantees a single HBM round-trip for the norm+activation pair on TPU and
+serves as the template for further epilogue fusion.
+
+Grid: one program per (batch row). The channel axis is the last (NHWC);
+groups are contiguous channel slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
+                    eps: float):
+    x = x_ref[0].astype(jnp.float32)           # [H, W, C]
+    h, w, c = x.shape
+    gc = c // groups
+    xg = x.reshape(h * w, groups, gc)
+    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
+    norm = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = norm.reshape(h, w, c) * scale_ref[:] + bias_ref[:]
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+def groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                   *, groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
+    """Fused y = silu(groupnorm(x)·scale + bias), x NHWC."""
+    b, h, w, c = x.shape
+    kernel = functools.partial(_gn_silu_kernel, groups=groups, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, scale, bias)
+
+
+def groupnorm_silu_reference(x, scale, bias, *, groups=32, eps=1e-6):
+    """XLA reference for testing."""
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    norm = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    y = norm * scale + bias
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)

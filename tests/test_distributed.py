@@ -1,0 +1,100 @@
+"""Distribution tests: every jitted program must produce the same result on
+1 device and on an 8-device mesh (SURVEY.md §4 distributed strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from salun.core import masked_opt, threshold_mask
+from salun.core.train import TrainState, make_train_step
+from salun.dist import make_mesh, shard_batch
+from salun.models import create_model
+
+
+def _setup(key):
+    model = create_model("resnet20s", num_classes=10)
+    x = jnp.zeros((16, 32, 32, 3))
+    variables = model.init(key, x, train=False)
+    return model, variables
+
+
+def _batch(rng, n=16):
+    return {
+        "image": rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8),
+        "label": rng.integers(0, 10, (n,), dtype=np.int64).astype(np.int32),
+        "weight": np.ones((n,), np.float32),
+    }
+
+
+def test_masked_train_step_sharding_invariance(mesh8, key, rng):
+    """One masked-RL step: data-parallel over the mesh must equal the
+    single-device result (grads all-reduced by XLA over ICI)."""
+    model, variables = _setup(key)
+    sal = jax.tree.map(
+        lambda p: jnp.abs(jax.random.normal(jax.random.PRNGKey(1), p.shape)),
+        variables["params"])
+    mask = threshold_mask(sal, 0.5)
+    theta0 = jax.tree.map(jnp.copy, variables["params"])
+    tx = masked_opt.masked(masked_opt.sgd(0.05, 0.9, 5e-4), mask, theta0)
+    step = make_train_step(model, tx, use_augment=False, num_classes=10)
+    batch = _batch(rng)
+
+    # single device
+    state1 = TrainState.create(
+        {"params": jax.tree.map(jnp.copy, variables["params"]),
+         "batch_stats": jax.tree.map(jnp.copy, variables["batch_stats"])}, tx)
+    s1, m1 = step(state1, jax.tree.map(jnp.asarray, batch),
+                  jax.random.PRNGKey(3))
+
+    # 8-device mesh: batch sharded, params replicated
+    repl = NamedSharding(mesh8, P())
+    state8 = TrainState.create(
+        {"params": jax.device_put(variables["params"], repl),
+         "batch_stats": jax.device_put(variables["batch_stats"], repl)}, tx)
+    sharded = shard_batch(mesh8, batch)
+    s8, m8 = step(state8, sharded, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    # cross-device reduction order differs from the single-device order, so
+    # agreement is approximate (the masked coords must still be bitwise 0)
+    for a, b, m in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params),
+                       jax.tree.leaves(mask)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-5)
+        np.testing.assert_array_equal(
+            np.asarray(a)[np.asarray(m) == 0], np.asarray(b)[np.asarray(m) == 0]
+        )
+
+
+def test_saliency_accumulation_sharding_invariance(mesh8, key, rng):
+    from salun.core import accumulate_saliency
+    from salun.core.train import cross_entropy
+    from salun.data.loader import to_float
+
+    model, variables = _setup(key)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    def grad_fn(params, batch):
+        def loss(p):
+            out = model.apply({"params": p, "batch_stats": bs},
+                              to_float(batch["image"]), train=False)
+            return -cross_entropy(out, batch["label"], batch["weight"])
+
+        return jax.grad(loss)(params)
+
+    batches = [_batch(rng) for _ in range(2)]
+    sal1 = accumulate_saliency(grad_fn, params,
+                               (jax.tree.map(jnp.asarray, b) for b in batches))
+    sal8 = accumulate_saliency(
+        grad_fn, jax.device_put(params, NamedSharding(mesh8, P())),
+        (shard_batch(mesh8, b) for b in batches))
+    m1 = threshold_mask(sal1, 0.5)
+    m8 = threshold_mask(sal8, 0.5)
+    same = sum(
+        float((np.asarray(a) == np.asarray(b)).mean())
+        for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m8))
+    ) / len(jax.tree.leaves(m1))
+    assert same > 0.999, same  # fp-accumulation order may flip rare ties
