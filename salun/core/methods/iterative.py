@@ -76,7 +76,8 @@ def RL(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
     return state
 
 
-def _single_loader_method(loader_name: str, loss_sign: float, with_l1: bool):
+def _single_loader_method(loader_name: str, loss_sign: float,
+                          l1_mode: str = "none"):
     def method(loaders, model, state: TrainState, cfg: UnlearnConfig,
                mask=None, key=None):
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
@@ -87,7 +88,11 @@ def _single_loader_method(loader_name: str, loss_sign: float, with_l1: bool):
         state = reset_opt_state(state, tx)
 
         l1_coeff = None
-        if with_l1:
+        if l1_mode == "const":
+            # GA_l1: constant α‖θ‖₁ (GA.py:177)
+            def l1_coeff(step):  # noqa: F811
+                return cfg.alpha
+        elif l1_mode == "decay":
             e_l1 = max(cfg.unlearn_epochs - cfg.no_l1_epochs, 1)
 
             def l1_coeff(step):  # noqa: F811 — FT.py:77-82 linear decay
@@ -108,10 +113,10 @@ def _single_loader_method(loader_name: str, loss_sign: float, with_l1: bool):
     return method
 
 
-GA = _single_loader_method("forget", loss_sign=-1.0, with_l1=False)
-GA_l1 = _single_loader_method("forget", loss_sign=-1.0, with_l1=True)
-FT = _single_loader_method("retain", loss_sign=1.0, with_l1=False)
-FT_l1 = _single_loader_method("retain", loss_sign=1.0, with_l1=True)
+GA = _single_loader_method("forget", loss_sign=-1.0)
+GA_l1 = _single_loader_method("forget", loss_sign=-1.0, l1_mode="const")
+FT = _single_loader_method("retain", loss_sign=1.0)
+FT_l1 = _single_loader_method("retain", loss_sign=1.0, l1_mode="decay")
 
 
 def retrain(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,

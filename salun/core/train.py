@@ -204,11 +204,9 @@ def train_epochs(
 
 
 def train_with_rewind(*args, **kwargs):
-    """Provided for pruner parity (the reference declares but never defines
-    it — trainer/__init__.py:1 vs trainer/train.py; used by pruner/omp.py).
-    Semantics: plain training that returns both the final state and the
-    state captured at ``rewind_epoch`` for lottery-ticket rewinding."""
-    raise NotImplementedError(
-        "train_with_rewind is wired via salun.core.pruner.omp_prune; "
-        "see salun/core/pruner.py"
-    )
+    """Re-export (the reference declares but never defines this —
+    trainer/__init__.py:1 vs trainer/train.py, a latent ImportError; the
+    working implementation lives in salun.core.omp)."""
+    from salun.core.omp import train_with_rewind as impl
+
+    return impl(*args, **kwargs)

@@ -156,15 +156,30 @@ def synthetic(
     """Deterministic learnable synthetic data (per-class mean + noise).
 
     Used by tests/benchmarks when real datasets aren't on disk. Each class
-    has a fixed random mean image; samples are mean + uniform noise, so a
-    small model can overfit it quickly (needed for unlearning tests that
-    check forget-accuracy actually drops).
+    has a fixed mean image built to survive the training augmentations
+    (random crop ±4 / horizontal flip): low-frequency (a coarse grid
+    bilinearly upsampled, so small shifts barely change it) and
+    horizontally symmetric (flip-invariant). Samples are mean + noise, so a
+    small model can fit quickly and unlearning tests see real accuracy
+    signal.
     """
     rng = np.random.default_rng(seed)
-    means = rng.uniform(0.2, 0.8, (num_classes, image_size, image_size, 3))
+    coarse = rng.uniform(0.1, 0.9, (num_classes, 4, 4, 3))
+    # low-frequency upsample 4x4 → image_size (smooth → crop-robust)
+    reps = (image_size + 3) // 4
+    blocky = np.kron(coarse, np.ones((1, reps, reps, 1)))[
+        :, :image_size, :image_size, :]
+    k = max(image_size // 8, 1)
+    kernel = np.ones(2 * k + 1) / (2 * k + 1)
+    smooth = blocky
+    for axis in (1, 2):
+        smooth = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode="same"), axis, smooth)
+    means = 0.5 * (smooth + smooth[:, :, ::-1])  # horizontal symmetry
     ys = rng.integers(0, num_classes, n)
-    noise = rng.uniform(-1.0, 1.0, (n, image_size, image_size, 3)) * (1 - class_signal)
-    imgs = means[ys] * 2 * class_signal + 0.5 * (1 - class_signal) + noise * 0.2
+    noise = rng.uniform(-1.0, 1.0, (n, image_size, image_size, 3))
+    imgs = (means[ys] * class_signal + 0.5 * (1 - class_signal)
+            + noise * 0.2 * (1 - class_signal))
     data = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
     return ArrayDataset(data, ys.astype(np.int64), num_classes, "synthetic")
 

@@ -1,0 +1,64 @@
+"""Pretrained-checkpoint registry (parity: DDPM/functions/ckpt_util.py:7-74).
+
+URL + MD5 map for the public DDPM checkpoints the reference can consume;
+:func:`get_ckpt_path` verifies an existing local file and — since this
+framework targets zero-egress TPU environments — refuses to download,
+printing the URL for out-of-band retrieval instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+URL_MAP = {
+    "cifar10": "https://heibox.uni-heidelberg.de/f/869980b53bf5416c8a28/?dl=1",
+    "ema_cifar10": "https://heibox.uni-heidelberg.de/f/2e4f01e2d9ee49bab1d5/?dl=1",
+    "lsun_bedroom": "https://heibox.uni-heidelberg.de/f/f179d4f21ebc4d43bbfe/?dl=1",
+    "ema_lsun_bedroom": "https://heibox.uni-heidelberg.de/f/b95206528f384185889b/?dl=1",
+    "lsun_cat": "https://heibox.uni-heidelberg.de/f/fac870bd988348eab88e/?dl=1",
+    "ema_lsun_cat": "https://heibox.uni-heidelberg.de/f/0701aac3aa69457bbe34/?dl=1",
+    "lsun_church": "https://heibox.uni-heidelberg.de/f/2711a6f712e34b06b9d8/?dl=1",
+    "ema_lsun_church": "https://heibox.uni-heidelberg.de/f/44ccb50ef3c6436db52e/?dl=1",
+}
+
+CKPT_MAP = {
+    "cifar10": "diffusion_cifar10_model/model-790000.ckpt",
+    "ema_cifar10": "ema_diffusion_cifar10_model/model-790000.ckpt",
+    "lsun_bedroom": "diffusion_lsun_bedroom_model/model-2388000.ckpt",
+    "ema_lsun_bedroom": "ema_diffusion_lsun_bedroom_model/model-2388000.ckpt",
+    "lsun_cat": "diffusion_lsun_cat_model/model-1761000.ckpt",
+    "ema_lsun_cat": "ema_diffusion_lsun_cat_model/model-1761000.ckpt",
+    "lsun_church": "diffusion_lsun_church_model/model-4432000.ckpt",
+    "ema_lsun_church": "ema_diffusion_lsun_church_model/model-4432000.ckpt",
+}
+
+MD5_MAP = {
+    "cifar10": "82ed3067fd1002f5cf4c339fb80c4669",
+    "ema_cifar10": "1fa350b952534ae442b1d5235cce5cd3",
+    "lsun_bedroom": "f70280ac0e08b8e696f42cb8e948ff1c",
+    "ema_lsun_bedroom": "1921fa46b66a3665e450e42f36c2720f",
+    "lsun_cat": "bbee0e7c3d7abfb6e2539eaf2fb9987b",
+    "ema_lsun_cat": "646f23f4821f2459b8bafc57fd824558",
+    "lsun_church": "eb619b8a5ab95ef80f94e8cc6e4ec1fb",
+    "ema_lsun_church": "fdc68a23938c2397caba4a260bc2445f",
+}
+
+
+def md5_hash(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def get_ckpt_path(name: str, root: str, check: bool = False) -> str:
+    assert name in URL_MAP, name
+    path = os.path.join(root, CKPT_MAP[name])
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {name!r} not found at {path}; this environment is "
+            f"zero-egress — fetch it out of band from {URL_MAP[name]} "
+            f"(md5 {MD5_MAP[name]})"
+        )
+    if check and md5_hash(path) != MD5_MAP[name]:
+        raise ValueError(f"md5 mismatch for {path}")
+    return path

@@ -1,0 +1,76 @@
+"""Aux subsystems: metrics writer, fan-out, OMP pruning, ckpt store."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_metrics_writer(tmp_path):
+    from salun.utils.metrics import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.log(0, loss=1.5, acc=10.0)
+    w.log(1, loss=1.0, acc=20.0)
+    w.dump_curves()
+    w.close()
+    lines = open(w.path).read().strip().split("\n")
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["loss"] == 1.0 and rec["step"] == 1
+    assert os.path.exists(os.path.splitext(w.path)[0] + "_train_curves.json")
+
+
+def test_run_commands(tmp_path):
+    from salun.utils.fanout import run_commands
+
+    paths = run_commands(["0", "1"], [f"echo {i}" for i in range(5)],
+                         dir=str(tmp_path), shuffle=False)
+    assert len(paths) == 2
+    text = open(paths[0]).read()
+    assert "TPU_VISIBLE_DEVICES=0" in text
+
+
+def test_omp_prune(key, rng):
+    from salun.core import masked_opt
+    from salun.core.omp import omp_prune
+    from salun.core.pruner import check_sparsity
+    from salun.core.train import TrainState
+    from salun.data.datasets import synthetic
+    from salun.data.loader import BatchIterator
+    from salun.models import create_model
+
+    model = create_model("resnet20s", num_classes=5)
+    ds = synthetic(n=64, num_classes=5, seed=0)
+    loader = BatchIterator(ds, 32, seed=1)
+    tx = masked_opt.sgd(0.01, 0.9, 5e-4)
+    variables = model.init(key, jnp.zeros((1, 32, 32, 3)), train=False)
+    state = TrainState.create(variables, tx)
+    state2, mask = omp_prune(model, state, tx, loader, rate=0.5, epochs=2,
+                             rewind_epoch=1, key=key, num_classes=5)
+    sp = check_sparsity(state2.params, mask)
+    assert abs(sp - 50.0) < 1.0, sp
+
+
+def test_ckpt_store_roundtrip(tmp_path, key):
+    from salun import ckpt
+
+    payload = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+               "step": jnp.asarray(7)}
+    ckpt.save(str(tmp_path / "c"), payload)
+    back = ckpt.restore(str(tmp_path / "c"))
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(back["step"]) == 7
+
+
+def test_ddpm_ckpt_util():
+    import pytest
+
+    from salun.diffusion.ckpt_util import URL_MAP, get_ckpt_path
+
+    assert "ema_cifar10" in URL_MAP
+    with pytest.raises(FileNotFoundError):
+        get_ckpt_path("cifar10", "/nonexistent")

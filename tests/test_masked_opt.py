@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from salun.core.masked_opt import build_optimizer, mask_grads, masked, sgd
 
@@ -13,6 +14,30 @@ def torch_sgd_reference(p, g, buf, lr, momentum, wd):
     d_p = g + wd * p
     buf = momentum * buf + d_p if buf is not None else d_p
     return p - lr * buf, buf
+
+
+def test_sgd_matches_real_torch_sgd(rng):
+    """Golden parity against the actual torch.optim.SGD trajectory."""
+    torch = pytest.importorskip("torch")
+
+    p0 = rng.standard_normal((7, 5)).astype(np.float32)
+    grads = [rng.standard_normal((7, 5)).astype(np.float32) for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.SGD([tp], lr=0.1, momentum=0.9, weight_decay=5e-4)
+
+    tx = sgd(0.1, momentum=0.9, weight_decay=5e-4)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
 
 
 def test_sgd_matches_torch_semantics(rng):

@@ -174,3 +174,24 @@ def test_compvis_roundtrip(modules, params):
     for a, b in zip(jax.tree.leaves(out["unet"]),
                     jax.tree.leaves(params["unet"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_diffusers_export_structure(modules, params):
+    from salun.sd.diffusers_export import export_diffusers_unet
+
+    sd = export_diffusers_unet(params["unet"], num_levels=2,
+                               num_res_blocks=1, attn_levels=(0, 1))
+    keys = set(sd)
+    assert "conv_in.weight" in keys
+    assert "time_embedding.linear_1.weight" in keys
+    assert "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight" in keys
+    assert "down_blocks.0.resnets.0.time_emb_proj.weight" in keys
+    assert "mid_block.resnets.1.conv1.weight" in keys
+    assert "up_blocks.0.upsamplers.0.conv.weight" in keys
+    assert "conv_out.weight" in keys
+    # torch conv layout
+    assert sd["conv_in.weight"].shape == (32, 4, 3, 3)
+    # every param exported exactly once
+    from salun.utils.tree import flatten_names
+
+    assert len(sd) == len(flatten_names(params["unet"]))

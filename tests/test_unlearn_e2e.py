@@ -33,9 +33,12 @@ def setup():
 
     tx = masked_opt.sgd(0.05, 0.9, 5e-4)
     state = TrainState.create(variables, tx)
-    step = make_train_step(model, tx, use_augment=False, num_classes=5)
+    # pretrain WITH augmentation — the unlearn loops also augment
+    # (reference marked loaders use train transforms), so features must be
+    # augmentation-invariant for the tiny-scale dynamics to be meaningful
+    step = make_train_step(model, tx, use_augment=True, num_classes=5)
     loader = BatchIterator(train, 64, shuffle=True, seed=1)
-    for _ in range(6):
+    for _ in range(8):
         for batch in loader:
             key, sub = jax.random.split(key)
             state, m = step(state, jax.tree.map(jnp.asarray, batch), sub)
@@ -61,8 +64,8 @@ def test_pretrain_learned(setup):
 
 def test_salun_rl_unlearns(setup):
     model, state, train, test = setup
-    cfg = UnlearnConfig(dataset="cifar10", num_classes=5, unlearn_lr=0.01,
-                        unlearn_epochs=3, batch_size=64, decreasing_lr="2",
+    cfg = UnlearnConfig(dataset="cifar10", num_classes=5, unlearn_lr=0.02,
+                        unlearn_epochs=5, batch_size=32, decreasing_lr="100",
                         seed=0, class_to_replace=0)
     loaders, forget, retain = _loaders(train, test, cfg)
 
@@ -94,8 +97,8 @@ def test_salun_rl_unlearns(setup):
     after_forget = validate(model, new_state, loaders["forget"])
     after_retain = validate(model, new_state, loaders["retain"])
     # forget accuracy must drop substantially; retain must stay usable
-    assert after_forget < before_forget - 20, (before_forget, after_forget)
-    assert after_retain > 55.0, after_retain
+    assert after_forget < 20.0, (before_forget, after_forget)
+    assert after_retain > 85.0, after_retain
 
     # masked-out coords stayed exactly at theta0
     moved = jax.tree.map(
