@@ -38,7 +38,7 @@ def main():
     )
     mask = jax.jit(lambda s: threshold_mask(s, 0.5))(sal)
     theta0 = jax.tree.map(jnp.copy, variables["params"])
-    tx = masked_opt.masked(masked_opt.sgd(0.013, 0.9, 5e-4), mask, theta0)
+    tx = masked_opt.masked_sgd_fused(0.013, 0.9, 5e-4, mask, theta0)
     state = TrainState.create(variables, tx)
     step = make_train_step(model, tx, use_augment=True, random_labels=True,
                            num_classes=10)

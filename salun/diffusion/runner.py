@@ -32,7 +32,7 @@ from salun.core.mask import generate_masks
 from salun.core.masked_opt import mask_grads
 from salun.diffusion import (
     ConditionalUNet, DiffusionSchedule, UNetConfig, antithetic_timesteps,
-    cfg_eps, data_transform, ema_init, ema_update, q_sample, sample_image,
+    cfg_eps, data_transform, q_sample, sample_image,
 )
 
 

@@ -196,10 +196,6 @@ class SDUNet(nn.Module):
         emb = nn.silu(emb)
         emb = nn.Dense(time_dim, dtype=dt, name="time_embed_2")(emb)
 
-        def res(i, j, ch, h):
-            return ResBlock(ch, c.dropout, dt,
-                            name=f"input_blocks_{i}_{j}")(h, emb, train)
-
         heads = c.num_heads
 
         hs = []
@@ -209,7 +205,6 @@ class SDUNet(nn.Module):
 
         ds = 1
         block_i = 1
-        input_chs = [c.model_channels]
         for level, mult in enumerate(c.channel_mult):
             ch = mult * c.model_channels
             for _ in range(c.num_res_blocks):
@@ -221,12 +216,10 @@ class SDUNet(nn.Module):
                         c.context_dim, dt, name=f"input_blocks_{block_i}_1",
                     )(h, context)
                 hs.append(h)
-                input_chs.append(ch)
                 block_i += 1
             if level != len(c.channel_mult) - 1:
                 h = Downsample(dt, name=f"input_blocks_{block_i}_0")(h)
                 hs.append(h)
-                input_chs.append(ch)
                 block_i += 1
                 ds *= 2
 

@@ -121,3 +121,31 @@ def test_build_optimizer_adam_masked(rng):
         p = optax.apply_updates(p, upd)
     assert float(p["w"][1]) == -5.0
     assert float(p["w"][0]) != 5.0
+
+
+def test_fused_matches_unfused(rng):
+    """masked_sgd_fused must be trajectory-identical to masked(sgd(...))."""
+    from salun.core.masked_opt import masked_sgd_fused
+
+    p0 = {"a": rng.standard_normal((6, 4)).astype(np.float32),
+          "b": rng.standard_normal((3,)).astype(np.float32)}
+    mask = jax.tree.map(
+        lambda p: jnp.asarray(rng.random(p.shape) > 0.5, jnp.float32), p0)
+    theta0 = jax.tree.map(jnp.asarray, p0)
+
+    tx_a = masked(sgd(0.05, 0.9, 5e-4), mask, theta0)
+    tx_b = masked_sgd_fused(0.05, 0.9, 5e-4, mask, theta0)
+    pa = jax.tree.map(jnp.asarray, p0)
+    pb = jax.tree.map(jnp.asarray, p0)
+    sa, sb = tx_a.init(pa), tx_b.init(pb)
+    for i in range(4):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32),
+            p0)
+        ua, sa = tx_a.update(g, sa, pa)
+        pa = optax.apply_updates(pa, ua)
+        ub, sb = tx_b.update(g, sb, pb)
+        pb = optax.apply_updates(pb, ub)
+        for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
