@@ -37,7 +37,9 @@ def setup_model_dataset(args):
     train = D.load(name, args.data, train=True)
     test = D.load(name, args.data, train=False)
 
-    if name in ("cifar10", "cifar100"):
+    if name in ("cifar10", "cifar100", "svhn"):
+        # deterministic 10%-per-class val split (dataset.py:576-593; SVHN
+        # uses the same scheme, dataset.py:107-123)
         train, val = validation_split(train, seed=args.seed)
     else:
         val = test

@@ -141,3 +141,59 @@ def sample_image(
     else:
         raise NotImplementedError(sample_type)
     return x
+
+
+def plms_steps(
+    eps_fn: Callable, x: jnp.ndarray, seq: Sequence[int],
+    schedule: DiffusionSchedule,
+):
+    """PLMS sampler (SD/ldm/models/diffusion/plms.py:268-382): pseudo
+    linear multistep — Adams-Bashforth combination of the last ≤4 eps
+    predictions, with a pseudo-improved-Euler bootstrap on the first step.
+    Deterministic (eta=0). Implemented as a lax.scan with a fixed-size
+    eps-history buffer so the whole chain is one compiled program."""
+    ts, ts_next = _seq_pairs(seq)
+    n = x.shape[0]
+
+    def x_prev_from(e, xt, i, j):
+        at = schedule.alpha_bar(jnp.full((n,), i, jnp.int32)).reshape(-1, 1, 1, 1)
+        a_prev = schedule.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(-1, 1, 1, 1)
+        pred_x0 = (xt - jnp.sqrt(1.0 - at) * e) / jnp.sqrt(at)
+        dir_xt = jnp.sqrt(1.0 - a_prev) * e
+        return jnp.sqrt(a_prev) * pred_x0 + dir_xt, pred_x0
+
+    def body(carry, t_pair):
+        xt, hist, count = carry   # hist: [4, ...] newest at index 0
+        i, j = t_pair
+        t = jnp.full((n,), i, jnp.float32)
+        t_next = jnp.full((n,), j, jnp.float32)
+        e_t = eps_fn(xt, t)
+
+        # bootstrap branch: pseudo improved Euler (plms.py:363-367)
+        def boot():
+            x_prev0, _ = x_prev_from(e_t, xt, i, j)
+            e_next = eps_fn(x_prev0, t_next)
+            return (e_t + e_next) / 2.0
+
+        # multistep branches (plms.py:368-379)
+        def ab1():
+            return (3 * e_t - hist[0]) / 2.0
+
+        def ab2():
+            return (23 * e_t - 16 * hist[0] + 5 * hist[1]) / 12.0
+
+        def ab3():
+            return (55 * e_t - 59 * hist[0] + 37 * hist[1]
+                    - 9 * hist[2]) / 24.0
+
+        e_prime = jax.lax.switch(jnp.minimum(count, 3),
+                                 [boot, ab1, ab2, ab3])
+        x_prev, pred_x0 = x_prev_from(e_prime, xt, i, j)
+        new_hist = jnp.concatenate([e_t[None], hist[:3]], axis=0)
+        return (x_prev, new_hist, count + 1), pred_x0
+
+    hist0 = jnp.zeros((4,) + x.shape, x.dtype)
+    (x_final, _, _), x0s = jax.lax.scan(
+        body, (x, hist0, jnp.int32(0)), jnp.stack([ts, ts_next], axis=1)
+    )
+    return x_final, x0s[-1]

@@ -144,8 +144,10 @@ class SDModules:
 
     def sample(self, params, key, prompts, *, negative_prompts=None,
                guidance: float = 7.5, steps: int = 50, image_size: int = 64,
-               eta: float = 0.0, return_latents: bool = False):
-        """Text → images in [0,1] via DDIM (ddim.py / generate-images.py)."""
+               eta: float = 0.0, return_latents: bool = False,
+               sampler: str = "ddim"):
+        """Text → images in [0,1] via DDIM or PLMS
+        (ddim.py / plms.py / generate-images.py)."""
         n = len(prompts)
         max_len = self.clip.cfg.max_length
         ids_c = jnp.asarray(tokenize(prompts, max_len))
@@ -160,8 +162,13 @@ class SDModules:
             nk, (n, image_size, image_size, self.vae.cfg.z_channels)
         )
         eps_fn = self.cfg_eps_fn(params, ctx_c, ctx_u, guidance)
-        z, _ = generalized_steps(eps_fn, z, seq, self.schedule, eta=eta,
-                                 key=key)
+        if sampler == "plms":
+            from salun.diffusion.sampling import plms_steps
+
+            z, _ = plms_steps(eps_fn, z, seq, self.schedule)
+        else:
+            z, _ = generalized_steps(eps_fn, z, seq, self.schedule, eta=eta,
+                                     key=key)
         if return_latents:
             return z
         img = self.decode_latent(params, z)
