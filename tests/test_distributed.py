@@ -98,3 +98,39 @@ def test_saliency_accumulation_sharding_invariance(mesh8, key, rng):
         for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m8))
     ) / len(jax.tree.leaves(m1))
     assert same > 0.999, same  # fp-accumulation order may flip rare ties
+
+
+def test_sd_unet_tp_pspecs(key):
+    """TP sharding rules mark attention/GEGLU matmuls and nothing else."""
+    from jax.sharding import PartitionSpec as P
+
+    from salun.dist.sharding import count_sharded, sd_unet_pspecs
+    from salun.sd import SDModules, SDUNetConfig, VAEConfig, CLIPTextConfig
+
+    modules = SDModules.create(
+        SDUNetConfig(model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(1, 2), channel_mult=(1, 2),
+                     num_heads=2, context_dim=24),
+        VAEConfig(ch=32, ch_mult=(1, 2, 2, 2), num_res_blocks=1),
+        CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=2,
+                       max_length=8),
+        num_timesteps=8,
+    )
+    params = modules.init(key, image_size=8)
+    pspecs = sd_unet_pspecs(params["unet"])
+    assert count_sharded(pspecs) > 0
+
+    from salun.utils.tree import flatten_names
+
+    flat_p = flatten_names(params["unet"])
+    flat_s = flatten_names(pspecs)
+    for name, spec in flat_s.items():
+        sharded = any(a is not None for a in spec)
+        if sharded:
+            assert any(name.endswith(sfx) for sfx in (
+                "to_q/kernel", "to_k/kernel", "to_v/kernel",
+                "net_0_proj/kernel", "to_out_0/kernel", "net_2/kernel",
+            )), name
+            # sharded dim must divide by 2 (the model-axis size we test)
+            dim = 1 if spec == P(None, "model") else 0
+            assert flat_p[name].shape[dim] % 2 == 0, name

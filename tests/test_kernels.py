@@ -53,3 +53,77 @@ def test_masked_sgd_update_matches_reference(rng):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_flash_attention_vjp_matches_autodiff(rng):
+    """Pallas backward vs XLA autodiff through the reference attention."""
+    from salun.kernels.flash_attention import flash_attention_trainable
+
+    b, n, d = 2, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    scale = d**-0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            o = flash_attention_trainable(q, k, v, scale, 128, 128)
+        return jnp.sum(jnp.sin(o))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_plms_matches_loop_reference(rng):
+    """PLMS scan vs a straightforward python-loop re-derivation."""
+    from salun.diffusion.sampling import plms_steps
+    from salun.diffusion.schedules import DiffusionSchedule
+
+    s = DiffusionSchedule.create(num_diffusion_timesteps=20)
+    W = jnp.asarray(rng.standard_normal((3, 3)) * 0.1, jnp.float32)
+
+    def eps(x, t):
+        return jnp.einsum("bhwc,cd->bhwd", x, W) + 0.01 * t.reshape(-1, 1, 1, 1)
+
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 3)), jnp.float32)
+    seq = list(range(0, 20, 5))
+    got, _ = plms_steps(eps, x0, seq, s)
+
+    # loop reference (plms.py:268-382 update equations)
+    def x_prev(e, xt, i, j):
+        at = np.asarray(s.alpha_bar(jnp.array([i])))[0]
+        ap = np.asarray(s.alpha_bar(jnp.array([j])))[0]
+        px0 = (xt - np.sqrt(1 - at) * e) / np.sqrt(at)
+        return np.sqrt(ap) * px0 + np.sqrt(1 - ap) * e
+
+    ts = list(reversed(seq))
+    ts_next = list(reversed([-1] + seq[:-1]))
+    x = np.asarray(x0)
+    old = []
+    for i, j in zip(ts, ts_next):
+        t = np.full((2,), i, np.float32)
+        e_t = np.asarray(eps(jnp.asarray(x), jnp.asarray(t)))
+        if len(old) == 0:
+            xp = x_prev(e_t, x, i, j)
+            e_next = np.asarray(eps(jnp.asarray(xp),
+                                    jnp.full((2,), j, jnp.float32)))
+            e_prime = (e_t + e_next) / 2
+        elif len(old) == 1:
+            e_prime = (3 * e_t - old[-1]) / 2
+        elif len(old) == 2:
+            e_prime = (23 * e_t - 16 * old[-1] + 5 * old[-2]) / 12
+        else:
+            e_prime = (55 * e_t - 59 * old[-1] + 37 * old[-2]
+                       - 9 * old[-3]) / 24
+        x = x_prev(e_prime, x, i, j)
+        old.append(e_t)
+        if len(old) > 3:
+            old.pop(0)
+    np.testing.assert_allclose(np.asarray(got), x, rtol=1e-4, atol=1e-5)
