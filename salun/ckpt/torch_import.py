@@ -118,7 +118,6 @@ def import_resnet(path_or_sd, num_classes: int = 10):
 def import_mask(path_or_dict, params_template, name_map=_resnet_name_map):
     """``with_{t}.pt`` {torch_name: 0/1 tensor} → mask pytree matching our
     params (unused entries default to 1)."""
-    import jax
     import jax.numpy as jnp
 
     md = path_or_dict

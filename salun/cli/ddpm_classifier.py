@@ -26,7 +26,7 @@ import numpy as np
 
 from salun import ckpt
 from salun.core import masked_opt
-from salun.core.train import TrainState, make_train_step, multistep_lr, validate
+from salun.core.train import TrainState, make_train_step, multistep_lr
 from salun.data import datasets as D
 from salun.data.loader import BatchIterator
 from salun.models import create_model

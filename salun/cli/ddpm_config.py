@@ -5,9 +5,7 @@ layout)."""
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
-from typing import Tuple
 
 import yaml
 

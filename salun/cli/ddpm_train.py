@@ -21,7 +21,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from salun import ckpt
 from salun.cli.ddpm_config import load_config

@@ -14,14 +14,13 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from salun import ckpt
 from salun.cli.args import parse_args
 from salun.cli.setup import build_unlearn_loaders, setup_model_dataset
 from salun.core import accumulate_saliency, generate_masks
 from salun.core.mask import DEFAULT_THRESHOLDS
-from salun.core.train import TrainState, cross_entropy
+from salun.core.train import cross_entropy
 from salun.data.loader import to_float
 from salun.utils.rng import seed_all
 

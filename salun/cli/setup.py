@@ -4,8 +4,6 @@ the unlearn drivers (main_random.py:50-110, generate_mask.py:108-187)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
 
 import numpy as np
 

@@ -20,7 +20,7 @@ concatenation — O(N) per pass, shards over a mesh with psum reductions.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Callable, Iterable, Sequence
 
 import jax
 import jax.numpy as jnp

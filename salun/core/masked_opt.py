@@ -18,7 +18,7 @@ SD/train-scripts/random_label.py:132-137) — use ``mask_grads`` alone there.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,13 +17,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
 
 from salun.core.train import (
     TrainState, cross_entropy, make_train_step, to_float, weighted_accuracy,
 )
-from salun.data.loader import augment
 
 from .common import (
     UnlearnConfig, make_unlearn_optimizer, reset_opt_state, snapshot_params,

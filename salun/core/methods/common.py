@@ -10,8 +10,8 @@ the scaffolding is a plain function, not a decorator: methods are pure
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

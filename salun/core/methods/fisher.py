@@ -16,7 +16,6 @@ sample loop (fisher.py:20-27) which is O(batch) serialized backward passes.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

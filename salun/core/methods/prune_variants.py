@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from salun.core import pruner
-from salun.core.train import TrainState, cross_entropy, make_train_step
+from salun.core.train import TrainState, cross_entropy
 from salun.data.loader import augment, to_float
 
 from .common import (

@@ -20,7 +20,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from salun.core.train import TrainState, make_train_step
 from salun.dist.topk import _bisect_kth, _f32_to_ordered_u32, _ordered_u32_to_f32

@@ -11,7 +11,6 @@ L1 (or score-based) one-shot pruning and rewinds to the snapshot.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

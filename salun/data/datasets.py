@@ -24,7 +24,6 @@ import os
 import pickle
 import tarfile
 from dataclasses import dataclass, replace as dc_replace
-from typing import Optional, Tuple
 
 import numpy as np
 

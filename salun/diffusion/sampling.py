@@ -12,7 +12,6 @@ CFG sampling uses the doubled-batch trick from salun.diffusion.unet.cfg_eps
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -16,7 +16,7 @@ device-agnostic and unit-testable without the 100MB weights.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

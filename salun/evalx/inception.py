@@ -20,8 +20,7 @@ logits (1008-way in TF; 1000-way here) for the Inception Score.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ reproduce.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ fused XLA einsum path.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

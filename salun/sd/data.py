@@ -10,12 +10,11 @@ Images are resized+center-cropped to ``image_size`` and scaled to [−1,1]
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
 from salun.data.datasets import ArrayDataset, synthetic
-from salun.data.loader import BatchIterator
 
 IMAGENETTE_CLASSES = [
     "tench", "english springer", "cassette player", "chain saw", "church",

@@ -18,12 +18,10 @@ deliberately NOT reproduced.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from salun.diffusion.sampling import generalized_steps
 from salun.diffusion.schedules import DiffusionSchedule

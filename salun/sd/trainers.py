@@ -27,19 +27,16 @@ instead of name-string loops.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from salun.core.mask import generate_masks
 from salun.dist.topk import _bisect_kth, _f32_to_ordered_u32, _ordered_u32_to_f32
-from salun.utils.tree import flatten_names, tree_from_flat, tree_size
+from salun.utils.tree import flatten_names, tree_from_flat
 
 from .clip_text import tokenize
-from .data import DESCRIPTIONS
 from .ldm import SDModules
 
 
