@@ -142,3 +142,49 @@ def test_svc_mia_runs(setup):
     assert set(res) == {"correctness", "confidence", "entropy", "m_entropy", "prob"}
     for v in res.values():
         assert 0.0 <= v <= 1.0
+
+
+@pytest.mark.parametrize("name", [
+    "raw", "retrain", "GA_l1", "FT_l1", "fisher_new", "RL_proximal",
+    "boundary_shrink", "FT_prune_bi", "GA_prune_bi", "GA_prune",
+])
+def test_remaining_methods_run(setup, name):
+    """Every registry method executes end to end on the tiny setup."""
+    model, state, train, test = setup
+    # the *_bi variants only prune when (epochs - epoch) % 2 == 0
+    # (FT_prune_bi.py:19), so they need ≥2 epochs to prune at all
+    epochs = 2 if name.endswith("_bi") else 1
+    cfg = UnlearnConfig(dataset="cifar10", num_classes=5, unlearn_lr=0.005,
+                        unlearn_epochs=epochs, batch_size=64,
+                        decreasing_lr="2", alpha=1e-4, rate=0.5,
+                        mask_ratio=0.5, seed=0)
+    loaders, _, _ = _loaders(train, test, cfg)
+    method = get_unlearn_method(name)
+    out = method(loaders, model, state, cfg, key=jax.random.PRNGKey(1))
+    assert out is not None
+    if name == "raw":
+        assert out is state
+    elif name in ("FT_prune_bi", "GA_prune_bi", "GA_prune"):
+        # pruned variants must actually zero conv weights
+        zeros = sum(
+            float((np.asarray(p) == 0).mean())
+            for p in jax.tree.leaves(out.params) if p.ndim == 4
+        )
+        assert zeros > 0
+
+
+def test_boundary_expanding_widens_head(setup):
+    model, state, train, test = setup
+    cfg = UnlearnConfig(dataset="cifar10", num_classes=5, unlearn_lr=0.005,
+                        unlearn_epochs=1, batch_size=64, decreasing_lr="2",
+                        arch="resnet20s", seed=0)
+    loaders, _, _ = _loaders(train, test, cfg)
+    method = get_unlearn_method("boundary_expanding")
+    wide_state, wide_model = method(loaders, model, state, cfg,
+                                    key=jax.random.PRNGKey(1))
+    # final Dense widened by one shadow class (boundary_ex.py:36-67)
+    assert wide_state.params["fc"]["kernel"].shape[-1] == 6
+    out = wide_model.apply(
+        {"params": wide_state.params, "batch_stats": wide_state.batch_stats},
+        jnp.zeros((1, 32, 32, 3)), train=False)
+    assert out.shape == (1, 6)
