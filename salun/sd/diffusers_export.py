@@ -141,3 +141,55 @@ def save_diffusers_unet(unet_params, path: str):
         torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
     except ImportError:
         np.savez(path + ".npz", **sd)
+
+
+def _tag_tree(template):
+    """Template with every leaf replaced by a same-shaped int array tagging
+    its flax-path index — replaying the export over it recovers the exact
+    {flax path → diffusers key} correspondence without duplicating the
+    mapping logic."""
+    import numpy as _np
+
+    from salun.utils.tree import flatten_names, tree_from_flat
+
+    flat = flatten_names(template)
+    tagged = {}
+    for i, (k, v) in enumerate(flat.items()):
+        tagged[k] = _np.full(v.shape, i, dtype=_np.int64)
+    return tree_from_flat(tagged)
+
+
+def import_diffusers_unet(sd: dict, template, num_levels: int = 4,
+                          num_res_blocks: int = 2, attn_levels=(0, 1, 2)):
+    """diffusers UNet state dict → flax params matching ``template``
+    (reverse of export_diffusers_unet; closes the convertModels.py loop so
+    diffusers checkpoints can be trained/evaluated here)."""
+    import jax.numpy as jnp
+
+    from salun.utils.tree import flatten_names, tree_from_flat
+
+    flat_t = flatten_names(template)
+    tagged_sd = export_diffusers_unet(
+        _tag_tree(template), num_levels, num_res_blocks, attn_levels
+    )
+    # tagged_sd: diffusers key → int array tagged with flax-leaf index
+    diffusers_key_of = {}
+    for dkey, tag in tagged_sd.items():
+        idx = int(np.asarray(tag).flat[0])
+        flax_path = list(flat_t)[idx]
+        diffusers_key_of[flax_path] = dkey
+
+    out = {}
+    for path, tmpl_v in flat_t.items():
+        dkey = diffusers_key_of[path]
+        if dkey not in sd:
+            raise KeyError(f"diffusers ckpt missing {dkey} (for {path})")
+        v = np.asarray(sd[dkey])
+        if path.endswith("/kernel"):
+            if v.ndim == 4:
+                v = v.transpose(2, 3, 1, 0)
+            else:
+                v = v.T
+        assert v.shape == tmpl_v.shape, (path, v.shape, tmpl_v.shape)
+        out[path] = jnp.asarray(v)
+    return tree_from_flat(out)

@@ -195,3 +195,17 @@ def test_diffusers_export_structure(modules, params):
     from salun.utils.tree import flatten_names
 
     assert len(sd) == len(flatten_names(params["unet"]))
+
+
+def test_diffusers_roundtrip(modules, params):
+    """flax → diffusers → flax must be identity."""
+    from salun.sd.diffusers_export import (
+        export_diffusers_unet, import_diffusers_unet,
+    )
+
+    sd = export_diffusers_unet(params["unet"], num_levels=2,
+                               num_res_blocks=1, attn_levels=(0, 1))
+    back = import_diffusers_unet(sd, params["unet"], num_levels=2,
+                                 num_res_blocks=1, attn_levels=(0, 1))
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params["unet"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
