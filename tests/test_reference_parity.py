@@ -1,0 +1,354 @@
+"""Golden parity against the reference's OWN torch algorithms.
+
+VERDICT r1 item #2: earlier tests compared against numpy re-derivations.
+Here the oracles are the reference's actual algorithms, CPU-ified verbatim:
+
+  * the double-argsort global thresholding of
+    /root/reference/Classification/generate_mask.py:50-82
+    (oracle: ``reference_threshold_masks``),
+  * the saliency accumulation loop of generate_mask.py:30-48
+    (oracle inside ``test_mask_pipeline_end_to_end``),
+  * the grad-mask + theta0-restore + momentum-zero hook pair of
+    /root/reference/Classification/unlearn/RL.py:11-34
+    (oracle: ``apply_mask_to_grads`` / ``restore_masked_params``),
+
+executed with real torch on a tiny model, asserting the salun mask is
+bit-identical per threshold (including tie cases) and the masked-SGD
+trajectory matches to fp32 tolerance over 60 steps.
+"""
+
+import collections
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from salun.core.mask import DEFAULT_THRESHOLDS, threshold_mask
+from salun.core.masked_opt import masked, masked_sgd_fused, sgd
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.quick
+
+
+# ---------------------------------------------------------------------------
+# Oracles — the reference's algorithms, verbatim modulo .cuda() removal.
+# ---------------------------------------------------------------------------
+
+
+def reference_threshold_masks(gradients, thresholds):
+    """Classification/generate_mask.py:50-82 CPU-ified.
+
+    The reference calls torch.argsort without ``stable``; its tie behavior is
+    implementation-defined. ``stable=True`` is the deterministic reading
+    (earlier flat index wins among equal values), which is the spec
+    salun.dist.topk implements.
+    """
+    out = {}
+    for i in thresholds:
+        hard_dict = {}
+        all_elements = -torch.cat(
+            [tensor.flatten() for tensor in gradients.values()]
+        )
+        threshold_index = int(len(all_elements) * i)
+        positions = torch.argsort(all_elements, stable=True)
+        ranks = torch.argsort(positions, stable=True)
+        start_index = 0
+        for key, tensor in gradients.items():
+            num_elements = tensor.numel()
+            tensor_ranks = ranks[start_index : start_index + num_elements]
+            threshold_tensor = torch.zeros_like(tensor_ranks)
+            threshold_tensor[tensor_ranks < threshold_index] = 1
+            hard_dict[key] = threshold_tensor.reshape(tensor.shape)
+            start_index += num_elements
+        out[i] = hard_dict
+    return out
+
+
+def apply_mask_to_grads(model, mask):
+    """unlearn/RL.py:11-14 verbatim."""
+    for name, param in model.named_parameters():
+        if param.grad is not None:
+            param.grad *= mask[name]
+
+
+def restore_masked_params(model, mask, theta0, optimizer):
+    """unlearn/RL.py:17-34 verbatim (CPU)."""
+    with torch.no_grad():
+        for name, param in model.named_parameters():
+            if name not in mask:
+                continue
+            mask_tensor = mask[name].to(device=param.device, dtype=param.dtype)
+            inv_mask_tensor = 1 - mask_tensor
+            if torch.count_nonzero(inv_mask_tensor) == 0:
+                continue
+            param.data.mul_(mask_tensor).add_(
+                theta0[name].to(param.device) * inv_mask_tensor
+            )
+            state = optimizer.state.get(param, None)
+            if state is not None and "momentum_buffer" in state:
+                state["momentum_buffer"].mul_(mask_tensor)
+
+
+# ---------------------------------------------------------------------------
+# Shared tiny model: 8 → 16 → 4 MLP, params mirrored torch <-> jax.
+# ---------------------------------------------------------------------------
+
+DIMS = (8, 16, 4)
+
+
+def make_torch_mlp(rng):
+    model = torch.nn.Sequential(
+        torch.nn.Linear(DIMS[0], DIMS[1]),
+        torch.nn.ReLU(),
+        torch.nn.Linear(DIMS[1], DIMS[2]),
+    )
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.tensor(
+                rng.standard_normal(p.shape).astype(np.float32) * 0.3))
+    return model
+
+
+def torch_to_jax_params(model):
+    # .copy(): jnp.asarray on CPU jax can alias the torch storage, and the
+    # reference's restore hook mutates params in place.
+    sd = {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
+    return {
+        "fc1": {"kernel": jnp.asarray(sd["0.weight"].T),
+                "bias": jnp.asarray(sd["0.bias"])},
+        "fc2": {"kernel": jnp.asarray(sd["2.weight"].T),
+                "bias": jnp.asarray(sd["2.bias"])},
+    }
+
+
+def jax_forward(params, x):
+    h = jax.nn.relu(x @ params["fc1"]["kernel"] + params["fc1"]["bias"])
+    return h @ params["fc2"]["kernel"] + params["fc2"]["bias"]
+
+
+def jax_loss(params, x, y, sign=1.0):
+    logits = jax_forward(params, x)
+    return sign * optax.softmax_cross_entropy_with_integer_labels(
+        logits, y).mean()
+
+
+TORCH2JAX = {  # torch param name -> (jax path, needs transpose)
+    "0.weight": (("fc1", "kernel"), True),
+    "0.bias": (("fc1", "bias"), False),
+    "2.weight": (("fc2", "kernel"), True),
+    "2.bias": (("fc2", "bias"), False),
+}
+
+
+def tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# 1. Pure thresholding parity (values fed identically to both sides).
+# ---------------------------------------------------------------------------
+
+
+def _assert_masks_match(torch_masks, jax_tree_masks, name_map):
+    for tname, (path, transpose) in name_map.items():
+        ref = torch_masks[tname].numpy()
+        got = np.asarray(tree_get(jax_tree_masks, path))
+        if transpose:
+            got = got.T
+        np.testing.assert_array_equal(
+            got.astype(np.int64), ref.astype(np.int64),
+            err_msg=f"mask mismatch for {tname}")
+
+
+def test_threshold_bit_identical_no_ties(rng):
+    # Leaf order must match jax's flatten order (dict keys sorted:
+    # fc1.bias, fc1.kernel, fc2.bias, fc2.kernel) so tie-free ranks align.
+    vals = {
+        "fc1.bias": rng.standard_normal((16,)).astype(np.float32),
+        "fc1.kernel": rng.standard_normal((8, 16)).astype(np.float32),
+        "fc2.bias": rng.standard_normal((4,)).astype(np.float32),
+        "fc2.kernel": rng.standard_normal((16, 4)).astype(np.float32),
+    }
+    vals = {k: np.abs(v) for k, v in vals.items()}
+    gradients = collections.OrderedDict(
+        (k, torch.tensor(v)) for k, v in vals.items())
+    ref = reference_threshold_masks(gradients, DEFAULT_THRESHOLDS)
+
+    sal = {"fc1": {"bias": jnp.asarray(vals["fc1.bias"]),
+                   "kernel": jnp.asarray(vals["fc1.kernel"])},
+           "fc2": {"bias": jnp.asarray(vals["fc2.bias"]),
+                   "kernel": jnp.asarray(vals["fc2.kernel"])}}
+    for t in DEFAULT_THRESHOLDS:
+        got = threshold_mask(sal, t)
+        name_map = {k: ((k.split(".")[0], k.split(".")[1]), False)
+                    for k in vals}
+        _assert_masks_match(ref[t], got, name_map)
+
+
+def test_threshold_bit_identical_heavy_ties(rng):
+    # Values quantized onto a 4-level grid → masses of exact ties, including
+    # ties straddling every threshold boundary.
+    vals = {
+        "a": (rng.integers(0, 4, (37,)) * 0.25).astype(np.float32),
+        "b": (rng.integers(0, 4, (5, 11)) * 0.25).astype(np.float32),
+        "c": (rng.integers(0, 4, (3,)) * 0.25).astype(np.float32),
+    }
+    gradients = collections.OrderedDict(
+        (k, torch.tensor(v)) for k, v in vals.items())
+    ref = reference_threshold_masks(gradients, DEFAULT_THRESHOLDS)
+    sal = {k: jnp.asarray(v) for k, v in vals.items()}
+    for t in DEFAULT_THRESHOLDS:
+        got = threshold_mask(sal, t)
+        for k in vals:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]).astype(np.int64),
+                ref[t][k].numpy().astype(np.int64),
+                err_msg=f"tie mask mismatch leaf={k} t={t}")
+
+
+# ---------------------------------------------------------------------------
+# 2. Mask pipeline end-to-end: saliency accumulation (loss = -CE, summed
+#    per-batch grads, then abs) + thresholding, torch vs salun.
+# ---------------------------------------------------------------------------
+
+
+def test_mask_pipeline_end_to_end(rng):
+    model = make_torch_mlp(rng)
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.SGD(model.parameters(), 0.1)
+    batches = [
+        (rng.standard_normal((12, DIMS[0])).astype(np.float32),
+         rng.integers(0, DIMS[2], (12,)).astype(np.int64))
+        for _ in range(4)
+    ]
+
+    # --- reference accumulation, generate_mask.py:27-48 verbatim ---
+    gradients = {}
+    model.eval()
+    for name, param in model.named_parameters():
+        gradients[name] = 0
+    for image, target in batches:
+        image = torch.tensor(image)
+        target = torch.tensor(target)
+        output_clean = model(image)
+        loss = -criterion(output_clean, target)
+        optimizer.zero_grad()
+        loss.backward()
+        with torch.no_grad():
+            for name, param in model.named_parameters():
+                if param.grad is not None:
+                    gradients[name] += param.grad.data
+    with torch.no_grad():
+        for name in gradients:
+            gradients[name] = torch.abs_(gradients[name])
+
+    # --- salun pipeline ---
+    params = torch_to_jax_params(model)
+    grad_fn = jax.grad(
+        lambda p, b: jax_loss(p, b[0], b[1], sign=-1.0))
+    acc = jax.tree.map(jnp.zeros_like, params)
+    for image, target in batches:
+        acc = jax.tree.map(
+            lambda a, g: a + g, acc,
+            grad_fn(params, (jnp.asarray(image), jnp.asarray(target))))
+    sal = jax.tree.map(jnp.abs, acc)
+
+    # saliency values agree to fp32 tolerance
+    for tname, (path, transpose) in TORCH2JAX.items():
+        ref_g = gradients[tname].numpy()
+        got_g = np.asarray(tree_get(sal, path))
+        if transpose:
+            got_g = got_g.T
+        np.testing.assert_allclose(got_g, ref_g, rtol=1e-5, atol=1e-6)
+
+    # masks bit-identical at every threshold. Concatenation order differs
+    # between the two pipelines, but with continuous-valued grads there are
+    # no cross-leaf ties, so order cannot matter.
+    ordered = collections.OrderedDict(
+        (k, gradients[k]) for k in ["0.weight", "0.bias", "2.weight", "2.bias"])
+    ref_masks = reference_threshold_masks(ordered, DEFAULT_THRESHOLDS)
+    for t in DEFAULT_THRESHOLDS:
+        got = threshold_mask(sal, t)
+        _assert_masks_match(ref_masks[t], got, TORCH2JAX)
+
+
+# ---------------------------------------------------------------------------
+# 3. Masked-RL trajectory: verbatim reference hook pair around torch SGD vs
+#    the salun masked optimizer, 60 steps.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_rl_trajectory_matches_reference_hooks(rng, fused):
+    lr, mom, wd = 0.05, 0.9, 5e-4
+    steps = 60
+
+    model = make_torch_mlp(rng)
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.SGD(
+        model.parameters(), lr, momentum=mom, weight_decay=wd)
+
+    mask_np = {
+        name: (rng.random(p.shape) > 0.5).astype(np.float32)
+        for name, p in model.named_parameters()
+    }
+    mask_t = {k: torch.tensor(v) for k, v in mask_np.items()}
+    theta0_t = {n: p.detach().clone() for n, p in model.named_parameters()}
+
+    params = torch_to_jax_params(model)
+    theta0 = jax.tree.map(jnp.copy, params)
+    mask_j = jax.tree.map(jnp.zeros_like, params)
+    for tname, (path, transpose) in TORCH2JAX.items():
+        m = mask_np[tname].T if transpose else mask_np[tname]
+        outer, leaf = path
+        mask_j[outer][leaf] = jnp.asarray(m)
+
+    tx = (masked_sgd_fused(lr, mom, wd, mask_j, theta0) if fused
+          else masked(sgd(lr, mom, wd), mask_j, theta0))
+    opt_state = tx.init(params)
+    grad_fn = jax.jit(jax.grad(lambda p, x, y: jax_loss(p, x, y)))
+
+    batches = [
+        (rng.standard_normal((16, DIMS[0])).astype(np.float32),
+         rng.integers(0, DIMS[2], (16,)).astype(np.int64))
+        for _ in range(steps)
+    ]
+
+    model.train()
+    for i, (x, y) in enumerate(batches):
+        # reference side — RL.py:123-131 + hooks 11-34
+        image, target = torch.tensor(x), torch.tensor(y)
+        output_clean = model(image)
+        loss = criterion(output_clean, target)
+        optimizer.zero_grad()
+        loss.backward()
+        apply_mask_to_grads(model, mask_t)
+        optimizer.step()
+        restore_masked_params(model, mask_t, theta0_t, optimizer)
+
+        # salun side
+        g = grad_fn(params, jnp.asarray(x), jnp.asarray(y))
+        upd, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, upd)
+
+        if (i + 1) % 10 == 0 or i == steps - 1:
+            sd = {n: p.detach().numpy() for n, p in model.named_parameters()}
+            for tname, (path, transpose) in TORCH2JAX.items():
+                got = np.asarray(tree_get(params, path))
+                if transpose:
+                    got = got.T
+                np.testing.assert_allclose(
+                    got, sd[tname], rtol=5e-4, atol=1e-5,
+                    err_msg=f"step {i + 1} param {tname} (fused={fused})")
+
+    # masked-out coords pinned exactly at theta0 on the salun side
+    for tname, (path, transpose) in TORCH2JAX.items():
+        got = np.asarray(tree_get(params, path))
+        t0 = np.asarray(tree_get(theta0, path))
+        m = mask_np[tname].T if transpose else mask_np[tname]
+        np.testing.assert_array_equal(got[m == 0], t0[m == 0])
