@@ -7,11 +7,10 @@ last_hidden_state over 77 BPE tokens — vocab 49408, width 768, 12 layers,
 CompVis checkpoint's ``cond_stage_model.transformer.*`` keys
 (salun.sd.import_ckpt).
 
-Tokenization uses HF's CLIPTokenizer when its vocab files are cached
-locally (zero-egress environments must provide them); otherwise
-:func:`simple_tokenize` falls back to a whitespace/byte scheme that keeps
-the pipeline runnable for tests (NOT equivalent to BPE — real runs need
-the tokenizer assets).
+Tokenization is real byte-level BPE (salun.sd.tokenizer), loaded from
+local assets (OpenAI merges file, HF vocab.json+merges.txt, or the HF
+cache); :func:`tokenize` fails loudly when none are present — approximate
+token ids would silently corrupt the conditioning of every SD run.
 """
 
 from __future__ import annotations
@@ -105,35 +104,24 @@ class CLIPTextModel(nn.Module):
 # ------------------------------------------------------------- tokenizer
 
 _BOS, _EOS = 49406, 49407
+_TOKENIZER = None
 
 
 def get_tokenizer():
-    """HF CLIPTokenizer if its assets are locally cached; else None."""
-    try:
-        from transformers import CLIPTokenizer
+    """The real CLIP tokenizer (salun.sd.tokenizer assets). Raises
+    FileNotFoundError when no assets are available."""
+    global _TOKENIZER
+    if _TOKENIZER is None:
+        from salun.sd.tokenizer import load_clip_tokenizer
 
-        return CLIPTokenizer.from_pretrained(
-            "openai/clip-vit-large-patch14", local_files_only=True
-        )
-    except Exception:
-        return None
-
-
-def simple_tokenize(texts, max_length: int = 77) -> np.ndarray:
-    """Deterministic fallback: hash words into the vocab range. Keeps
-    shapes/flow correct for tests; NOT BPE-equivalent."""
-    out = np.full((len(texts), max_length), _EOS, np.int32)
-    out[:, 0] = _BOS
-    for i, t in enumerate(texts):
-        ids = [hash(w) % 49000 for w in t.lower().split()][: max_length - 2]
-        out[i, 1 : 1 + len(ids)] = ids
-    return out
+        _TOKENIZER = load_clip_tokenizer()
+    return _TOKENIZER
 
 
 def tokenize(texts, max_length: int = 77) -> np.ndarray:
-    tok = get_tokenizer()
-    if tok is None:
-        return simple_tokenize(texts, max_length)
-    enc = tok(list(texts), truncation=True, max_length=max_length,
-              padding="max_length", return_tensors="np")
-    return enc["input_ids"].astype(np.int32)
+    """texts → int32 [B, max_length] CLIP BPE ids (BOS/EOS, EOS-padded).
+
+    Parity: FrozenCLIPEmbedder's tokenizer call with padding="max_length"
+    (SD/ldm/modules/encoders/modules.py:234-238). No approximate fallback —
+    fails loudly without tokenizer assets."""
+    return np.asarray(get_tokenizer()(list(texts), max_length), np.int32)

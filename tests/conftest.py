@@ -18,6 +18,28 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Zero-egress test environment: no real CLIP BPE assets exist, and the
+# tokenizer refuses to approximate. Point SALUN_CLIP_BPE at a tiny synthetic
+# merges file so SD pipeline tests can tokenize (ids are structurally valid
+# BPE over the 512-symbol byte alphabet; NOT the real CLIP vocab — real-id
+# parity is tested separately and skips without real assets).
+_SYNTH_MERGES = os.path.join(
+    os.path.dirname(__file__), "_synthetic_clip_merges.txt")
+if not os.path.exists(_SYNTH_MERGES):
+    _merges = ["t h", "th e</w>", "a n", "an d</w>", "i n</w>", "o f</w>",
+               "r e", "e r", "o n", "a t", "e n", "o r", "e s</w>",
+               "in g</w>", "h e", "l l", "he ll", "hell o</w>"]
+    with open(_SYNTH_MERGES, "w") as _f:
+        _f.write("#version: synthetic-test\n" + "\n".join(_merges) + "\n")
+os.environ.setdefault("SALUN_CLIP_BPE", _SYNTH_MERGES)
+
+
+def pytest_collection_modifyitems(config, items):
+    # Everything not marked slow is the quick tier (`-m quick`).
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():
