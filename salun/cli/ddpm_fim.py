@@ -44,7 +44,8 @@ def main(argv=None):
     runner = DDPMRunner(bundle.unet, bundle.schedule, bundle.train)
     params = _load_params(runner, args, key)
 
-    ds = ddpm_data.get_dataset(bundle.dataset, args.data, train=True)
+    ds = ddpm_data.get_dataset(bundle.dataset, args.data, train=True,
+                               image_size=bundle.unet.image_size)
     if args.n_samples:
         ds = ds.select(range(min(args.n_samples, len(ds))))
     loader = BatchIterator(ds, args.batch, shuffle=False, drop_last=True)

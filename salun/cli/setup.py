@@ -20,6 +20,11 @@ def setup_model_dataset(args):
     """Returns (model, train_full, val, test, marked) — the same 5-tuple
     shape as the reference factory (utils.py:112-285)."""
     name = args.dataset
+    # no-val variants: full train set, val == test
+    # (utils.py:257-275, dataset.py:21-70 / 297-345)
+    no_val = name.endswith("_no_val")
+    if no_val:
+        name = name[: -len("_no_val")]
     if name in ("cifar10", "svhn", "synthetic"):
         num_classes = 10
     elif name == "cifar100":
@@ -35,7 +40,7 @@ def setup_model_dataset(args):
     train = D.load(name, args.data, train=True)
     test = D.load(name, args.data, train=False)
 
-    if name in ("cifar10", "cifar100", "svhn"):
+    if name in ("cifar10", "cifar100", "svhn") and not no_val:
         # deterministic 10%-per-class val split (dataset.py:576-593; SVHN
         # uses the same scheme, dataset.py:107-123)
         train, val = validation_split(train, seed=args.seed)

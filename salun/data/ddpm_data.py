@@ -23,14 +23,37 @@ from .datasets import ArrayDataset, load, synthetic
 from .loader import BatchIterator
 
 
-def get_dataset(name: str, data_dir: str, train: bool = True) -> ArrayDataset:
+def get_dataset(name: str, data_dir: str, train: bool = True,
+                image_size: int = None) -> ArrayDataset:
+    """Dataset by name, resized to ``image_size`` when it differs — parity
+    with the reference's transforms.Resize(config.data.image_size)
+    (DDPM/datasets/__init__.py:36,41; STL-10 trains at 64, not its native
+    96)."""
     if name.upper() == "CIFAR10" or name == "cifar10":
-        return load("cifar10", data_dir, train)
-    if name.upper() == "STL10" or name == "stl10":
-        return _stl10(data_dir, train)
-    if name == "synthetic":
-        return synthetic(n=512 if train else 128)
-    raise KeyError(name)
+        ds = load("cifar10", data_dir, train)
+    elif name.upper() == "STL10" or name == "stl10":
+        ds = _stl10(data_dir, train)
+    elif name == "synthetic":
+        ds = synthetic(n=512 if train else 128)
+    else:
+        raise KeyError(name)
+    if image_size and ds.data.shape[1] != image_size:
+        ds = ArrayDataset(_resize_batch(ds.data, image_size),
+                          ds.targets, ds.num_classes, ds.name)
+    return ds
+
+
+def _resize_batch(images_u8: np.ndarray, size: int) -> np.ndarray:
+    """Resize NHWC uint8 images with PIL bilinear (torchvision Resize
+    default interpolation)."""
+    from PIL import Image
+
+    out = np.empty((len(images_u8), size, size, images_u8.shape[-1]),
+                   np.uint8)
+    for i, img in enumerate(images_u8):
+        out[i] = np.asarray(
+            Image.fromarray(img).resize((size, size), Image.BILINEAR))
+    return out
 
 
 def _stl10(data_dir: str, train: bool) -> ArrayDataset:

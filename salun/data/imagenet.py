@@ -6,7 +6,10 @@ Parity with Classification/imagenet.py:14-194: ``load_dataset("imagenet-1k")``
 Gated on a local HF cache (zero-egress environments must pre-seed it).
 
 TPU note: ImageNet doesn't fit in host RAM as a single array; this module
-yields streaming batch dicts rather than ArrayDatasets.
+yields streaming batch dicts rather than ArrayDatasets. Decoding runs on a
+thread pool and batches are produced by a background prefetch queue
+(salun.data.pipeline), so host input overlaps device compute — the
+reference's loop (and round 1's) decoded serially on the main thread.
 """
 
 from __future__ import annotations
@@ -14,6 +17,8 @@ from __future__ import annotations
 from typing import Iterator, Optional
 
 import numpy as np
+
+from .pipeline import parallel_decode, prefetch
 
 
 def get_x_y_from_data_dict(data: dict, as_numpy: bool = True):
@@ -30,13 +35,17 @@ class ImageNetLoader:
     marking (imagenet.py:135-166)."""
 
     def __init__(self, data_path: str = "imagenet-1k", batch_size: int = 256,
-                 image_size: int = 224, seed: int = 1):
+                 image_size: int = 224, seed: int = 1,
+                 decode_workers: Optional[int] = None,
+                 prefetch_depth: int = 4):
         from datasets import load_dataset
 
         self.ds = load_dataset(data_path)
         self.batch_size = batch_size
         self.image_size = image_size
         self.seed = seed
+        self._decoder = parallel_decode(self._resize, decode_workers)
+        self.prefetch_depth = prefetch_depth
 
     def _resize(self, img):
         from PIL import Image
@@ -46,6 +55,10 @@ class ImageNetLoader:
         return np.asarray(img, np.uint8)
 
     def _iter_split(self, split, indices=None, shuffle=True) -> Iterator[dict]:
+        return prefetch(self._produce(split, indices, shuffle),
+                        depth=self.prefetch_depth)
+
+    def _produce(self, split, indices=None, shuffle=True) -> Iterator[dict]:
         ds = self.ds[split]
         n = len(ds)
         order = np.arange(n) if indices is None else np.asarray(indices)
@@ -55,7 +68,7 @@ class ImageNetLoader:
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
             rows = ds[idx.tolist()]
-            imgs = np.stack([self._resize(im) for im in rows["image"]])
+            imgs = self._decoder.map(rows["image"])
             labels = np.asarray(rows["label"], np.int32)
             w = np.ones(len(idx), np.float32)
             if len(idx) < bs:
