@@ -9,8 +9,14 @@ Replaces the reference's three ad-hoc schemes (SURVEY.md §5.4):
 
 One orbax-based store holding {params, batch_stats, opt_state, step, ema,
 eval_results, masks} with async-friendly saves (preemption tolerance on
-TPU). Plus numpy ``.npz`` fallbacks for environments without orbax write
-access.
+TPU). A numpy ``.npz`` fallback exists only for environments without orbax
+installed; the on-disk artifact itself records the format (orbax saves a
+directory at ``path``, the fallback a ``path + ".npz"`` file) and restore
+dispatches on what exists — the two can never silently diverge.
+
+Arbitrary pytrees (flax structs, optax states, namedtuples) are serialized
+through ``flax.serialization.to_state_dict`` and restored into a matching
+template with :func:`restore_like`.
 """
 
 from __future__ import annotations
@@ -20,36 +26,65 @@ import os
 
 import jax
 import numpy as np
-from flax import traverse_util
+from flax import serialization, traverse_util
 
 
 def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _npz_path(path: str) -> str:
+    return path + ".npz"
+
+
 def save(path: str, payload: dict) -> None:
-    """Save a checkpoint dict of pytrees (orbax if available, else npz)."""
+    """Save a checkpoint pytree (orbax if installed, else npz fallback)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    state = _to_numpy_tree(serialization.to_state_dict(payload))
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        flat = traverse_util.flatten_dict(state, sep="/")
+        np.savez(path, **{k: v for k, v in flat.items()})
+        return
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
 
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.abspath(path), _to_numpy_tree(payload), force=True)
-    except Exception:
-        flat = traverse_util.flatten_dict(_to_numpy_tree(payload), sep="/")
-        np.savez(path + ".npz", **{k: v for k, v in flat.items()})
+
+def exists(path: str) -> bool:
+    return os.path.isdir(path) or os.path.exists(_npz_path(path))
 
 
 def restore(path: str) -> dict:
-    try:
-        import orbax.checkpoint as ocp
-
+    """Restore the raw checkpoint dict; format chosen by what is on disk."""
+    if os.path.isdir(path):
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError as e:
+            raise RuntimeError(
+                f"checkpoint {path!r} was written by orbax but orbax is not "
+                "installed in this environment"
+            ) from e
         ckptr = ocp.PyTreeCheckpointer()
         return ckptr.restore(os.path.abspath(path))
-    except Exception:
-        data = np.load(path + ".npz", allow_pickle=True)
+    if os.path.exists(_npz_path(path)):
+        data = np.load(_npz_path(path), allow_pickle=True)
         flat = {k: data[k] for k in data.files}
         return traverse_util.unflatten_dict(flat, sep="/")
+    raise FileNotFoundError(
+        f"no checkpoint at {path!r} (neither orbax dir nor {_npz_path(path)})"
+    )
+
+
+def restore_like(path: str, template):
+    """Restore into the structure of ``template`` (flax structs, optax
+    states, namedtuples all supported — parity with the reference's resume
+    of model+optimizer+scheduler state, main_train.py:85-98)."""
+    return from_state_dict(template, restore(path))
+
+
+def from_state_dict(template, raw):
+    return serialization.from_state_dict(template, raw)
 
 
 def save_eval_results(save_dir: str, name: str, results: dict) -> None:

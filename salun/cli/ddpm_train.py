@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--save_dir", type=str, default="results/ddpm")
+    p.add_argument("--resume", action="store_true",
+                   help="resume {params, opt_state, step, ema} from "
+                        "save_dir/ckpt (parity: --resume_training, "
+                        "DDPM/runners/diffusion.py:213-218)")
     return p.parse_args(argv)
 
 
@@ -76,7 +80,8 @@ def main(argv=None):
     runner = DDPMRunner(bundle.unet, bundle.schedule, bundle.train)
     cfgt = bundle.train
 
-    train_ds = ddpm_data.get_dataset(bundle.dataset, args.data, train=True)
+    train_ds = ddpm_data.get_dataset(bundle.dataset, args.data, train=True,
+                                     image_size=bundle.unet.image_size)
     params = _load_params(runner, args, key)
 
     if args.mode == "generate_mask":
@@ -122,6 +127,19 @@ def main(argv=None):
     shadow = jax.tree.map(jnp.copy, params) if cfgt.ema else None
     carry = (params, opt_state, shadow)
 
+    start_step = 0
+    resume_path = os.path.join(args.save_dir, "ckpt")
+    if args.resume and ckpt.exists(resume_path):
+        raw = ckpt.restore(resume_path)
+        params = ckpt.from_state_dict(params, raw["params"])
+        if "opt_state" in raw:
+            opt_state = ckpt.from_state_dict(opt_state, raw["opt_state"])
+        if shadow is not None and "ema" in raw:
+            shadow = ckpt.from_state_dict(shadow, raw["ema"])
+        start_step = int(raw.get("step", 0))
+        carry = (params, opt_state, shadow)
+        logging.info(f"resume from {resume_path} at step {start_step}")
+
     t0 = time.time()
     if args.mode in ("train", "retrain"):
         ds = train_ds
@@ -130,15 +148,17 @@ def main(argv=None):
         loader = ddpm_data.cycle(BatchIterator(ds, cfgt.batch_size,
                                                shuffle=True, seed=args.seed))
         step_fn = runner.make_train_step(tx)
-        for step in range(cfgt.n_iters):
-            key, sub = jax.random.split(key)
+        for _ in range(start_step):  # fast-forward data stream on resume
+            next(loader)
+        for step in range(start_step, cfgt.n_iters):
+            sub = jax.random.fold_in(key, step)
             batch = jax.tree.map(jnp.asarray, next(loader))
             carry, loss = step_fn(carry, batch, sub)
             if (step + 1) % cfgt.log_freq == 0:
                 logging.info(f"step {step} loss {float(loss):.4f} "
                              f"({time.time() - t0:.1f}s)")
             if (step + 1) % cfgt.snapshot_freq == 0:
-                _save(args, carry)
+                _save(args, carry, step + 1)
     elif args.mode == "saliency_unlearn":
         remain, forget = ddpm_data.get_forget_dataset(train_ds,
                                                       args.label_to_forget)
@@ -147,8 +167,10 @@ def main(argv=None):
         forget_it = ddpm_data.cycle(BatchIterator(forget, cfgt.batch_size,
                                                   shuffle=True, seed=args.seed))
         step_fn = runner.make_saliency_unlearn_step(tx, mask=mask)
-        for step in range(cfgt.n_iters):
-            key, sub = jax.random.split(key)
+        for _ in range(start_step):  # fast-forward data streams on resume
+            next(remain_it), next(forget_it)
+        for step in range(start_step, cfgt.n_iters):
+            sub = jax.random.fold_in(key, step)
             carry, loss = step_fn(
                 carry, jax.tree.map(jnp.asarray, next(remain_it)),
                 jax.tree.map(jnp.asarray, next(forget_it)), sub,
@@ -156,7 +178,9 @@ def main(argv=None):
             if (step + 1) % cfgt.log_freq == 0:
                 logging.info(f"step {step} loss {float(loss):.4f} "
                              f"({time.time() - t0:.1f}s)")
-        _save(args, carry)
+            if (step + 1) % cfgt.snapshot_freq == 0:
+                _save(args, carry, step + 1)
+        _save(args, carry, cfgt.n_iters)
     elif args.mode == "forget":
         # SA baseline: needs the FIM dict + generated class samples
         fim_path = os.path.join(args.ckpt_folder or args.save_dir, "fisher")
@@ -170,20 +194,26 @@ def main(argv=None):
                                                shuffle=True, seed=args.seed))
         params_mle = jax.tree.map(jnp.copy, carry[0])
         step_fn = runner.make_train_forget_step(tx, fisher, params_mle)
-        for step in range(cfgt.n_iters):
-            key, sub = jax.random.split(key)
+        for _ in range(start_step):
+            next(loader)
+        for step in range(start_step, cfgt.n_iters):
+            sub = jax.random.fold_in(key, step)
             carry, loss = step_fn(carry, jax.tree.map(jnp.asarray, next(loader)),
                                   sub)
             if (step + 1) % cfgt.log_freq == 0:
                 logging.info(f"step {step} loss {float(loss):.4f}")
-        _save(args, carry)
+            if (step + 1) % cfgt.snapshot_freq == 0:
+                _save(args, carry, step + 1)
+        _save(args, carry, cfgt.n_iters)
 
-    _save(args, carry)
+    _save(args, carry, cfgt.n_iters)
 
 
-def _save(args, carry):
+def _save(args, carry, step=0):
+    # Full training state, mirroring the reference's
+    # states = [model, optimizer, step, (ema)] (diffusion.py:252-265).
     params, opt_state, shadow = carry
-    payload = {"params": params}
+    payload = {"params": params, "opt_state": opt_state, "step": step}
     if shadow is not None:
         payload["ema"] = shadow
     ckpt.save(os.path.join(args.save_dir, "ckpt"), payload)

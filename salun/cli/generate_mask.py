@@ -76,6 +76,8 @@ def _load_model(path, params, batch_stats):
 
         return import_resnet(path)
     payload = ckpt.restore(path)
+    if "state" in payload and "params" not in payload:
+        payload = payload["state"]  # pretrain "checkpoint" artifact
     return payload["params"], payload.get("batch_stats", batch_stats)
 
 

@@ -69,12 +69,25 @@ def run(argv=None, use_mask=True):
         {"params": params, "batch_stats": batch_stats}, tx
     )
 
-    method = get_unlearn_method(args.unlearn)
-    out = method(loaders, model, state, cfg, mask=mask, key=key)
-    if isinstance(out, tuple):  # boundary_expanding returns (state, model)
-        state, model = out
+    unlearn_ckpt = os.path.join(args.save_dir, f"{args.unlearn}_checkpoint")
+    if args.resume and ckpt.exists(unlearn_ckpt):
+        # Parity: main_random.py:122-126 — resume loads the unlearned model
+        # and skips the unlearning loop (evals are recomputed below, as the
+        # reference effectively always does).
+        print(f"resume from unlearn checkpoint {unlearn_ckpt}")
+        payload = ckpt.restore(unlearn_ckpt)
+        state = state.replace(
+            params=ckpt.from_state_dict(state.params, payload["params"]),
+            batch_stats=ckpt.from_state_dict(
+                state.batch_stats, payload.get("batch_stats", {})),
+        )
     else:
-        state = out
+        method = get_unlearn_method(args.unlearn)
+        out = method(loaders, model, state, cfg, mask=mask, key=key)
+        if isinstance(out, tuple):  # boundary_expanding returns (state, model)
+            state, model = out
+        else:
+            state = out
 
     # UA/RA/TA (main_random.py:146-155)
     results = {}
@@ -109,6 +122,9 @@ def _load_model(path, params, batch_stats):
 
         return import_resnet(path)
     payload = ckpt.restore(path)
+    if "state" in payload and "params" not in payload:
+        # pretrain driver "checkpoint" artifact (full TrainState + curves)
+        payload = payload["state"]
     return payload["params"], payload.get("batch_stats", batch_stats)
 
 

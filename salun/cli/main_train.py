@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from salun import ckpt
 from salun.cli.args import parse_args
@@ -52,11 +53,27 @@ def main(argv=None):
                            num_classes=args.num_classes)
 
     best_sa = 0.0
+    start_epoch = 0
     curves = {"train_acc": [], "val_acc": [], "test_acc": []}
-    for epoch in range(args.epochs):
+    ckpt_path = os.path.join(args.save_dir, "checkpoint")
+    if args.resume and ckpt.exists(ckpt_path):
+        # Parity: reference resumes model+optimizer+scheduler+epoch+best_sa
+        # +curves (main_train.py:85-98). The LR schedule is a pure function
+        # of state.step here, so restoring the state restores the schedule.
+        raw = ckpt.restore(ckpt_path)
+        state = ckpt.from_state_dict(state, raw["state"])
+        start_epoch = int(np.asarray(raw["epoch"]))
+        best_sa = float(np.asarray(raw["best_sa"]))
+        curves = {k: [float(x) for x in np.asarray(v)]
+                  for k, v in raw["curves"].items()}
+        print(f"resume from {ckpt_path} at epoch {start_epoch} "
+              f"(best_sa={best_sa:.2f})")
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        for batch in loader:
-            key, sub = jax.random.split(key)
+        loader.set_epoch(epoch)
+        for i, batch in enumerate(loader):
+            # per-step key = f(seed, global step): resume-invariant
+            sub = jax.random.fold_in(key, epoch * steps_per_epoch + i)
             state, m = step(state, jax.tree.map(jnp.asarray, batch), sub)
         train_acc = float(m["acc"])
         val_acc = validate(model, state,
@@ -71,9 +88,10 @@ def main(argv=None):
 
         is_best = val_acc > best_sa
         best_sa = max(val_acc, best_sa)
-        ckpt.save(os.path.join(args.save_dir, "checkpoint"), {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "step": state.step, "best_sa": best_sa,
+        ckpt.save(ckpt_path, {
+            "state": state, "epoch": epoch + 1, "best_sa": best_sa,
+            "curves": {k: np.asarray(v, np.float32)
+                       for k, v in curves.items()},
         })
         if is_best:
             ckpt.save(os.path.join(args.save_dir, "model_SA_best"), {

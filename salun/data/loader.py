@@ -39,9 +39,18 @@ class BatchIterator:
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.drop_last = drop_last
         self.pad_final = pad_final
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order of the next pass to ``epoch``.
+
+        Each pass's order is a pure function of (seed, epoch) — so a resumed
+        run replays exactly the orders a straight-through run would see
+        (torch DistributedSampler.set_epoch semantics)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.ds)
@@ -51,7 +60,13 @@ class BatchIterator:
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.ds)
-        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        self._epoch += 1  # consecutive passes differ unless set_epoch pins
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
         for start in range(0, stop, bs):
