@@ -34,21 +34,25 @@ def scaled_dot_attention(
     """
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     if _use_flash(q, k):
-        from .flash_attention import flash_attention
+        from .flash_attention import flash_attention_trainable
 
-        return flash_attention(q, k, v, scale=scale)
+        # the custom-VJP variant: identical forward, Pallas backward —
+        # safe inside both inference and training graphs
+        return flash_attention_trainable(q, k, v, scale)
     return _xla_attention(q, k, v, scale)
+
+
+# Measured on TPU v5e (scripts/validate_kernels_tpu.py, r2): flash wins
+# ~1.8–2.1× fwd and bwd at seq 4096 (64×64-latent self-attention) and
+# removes the O(N²) logits buffer; at seq ≤1024 XLA's fused path is equal
+# or faster. Dispatch accordingly.
+_FLASH_MIN_SEQ = 2048
 
 
 def _use_flash(q, k) -> bool:
     import os
 
     if os.environ.get("SALUN_DISABLE_FLASH"):
-        return False
-    # The axon TPU tunnel (remote Mosaic compile) can't build Pallas kernels;
-    # fall back to the XLA path there unless explicitly forced.
-    if (os.environ.get("PALLAS_AXON_POOL_IPS")
-            and not os.environ.get("SALUN_FORCE_FLASH")):
         return False
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -58,7 +62,10 @@ def _use_flash(q, k) -> bool:
         return False
     b, nq, c = q.shape
     nk = k.shape[1]
-    return nq % 128 == 0 and nk % 128 == 0 and c % 128 == 0
+    if min(nq, nk) < _FLASH_MIN_SEQ and not os.environ.get(
+            "SALUN_FORCE_FLASH"):
+        return False
+    return nq % 128 == 0 and nk % 128 == 0 and c % 8 == 0
 
 
 def multi_head_attention(q, k, v, num_heads: int, *, scale=None):

@@ -22,15 +22,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
                     eps: float):
+    """Group statistics via a [C, G] indicator matmul — Mosaic supports no
+    reshape that splits the 128-lane channel axis, but a C×G matmul reduces
+    over channel groups on the MXU and its transpose broadcasts back."""
     x = x_ref[0].astype(jnp.float32)           # [H, W, C]
     h, w, c = x.shape
     gc = c // groups
-    xg = x.reshape(h * w, groups, gc)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    norm = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = norm.reshape(h, w, c) * scale_ref[:] + bias_ref[:]
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+    x2 = x.reshape(h * w, c)                   # leading dims only: supported
+
+    # indicator M[c, g] = 1 iff channel c belongs to group g
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    M = (c_idx // gc == g_idx).astype(jnp.float32)
+
+    n = h * w * gc
+    ch_sum = jnp.sum(x2, axis=0, keepdims=True)          # [1, C]
+    ch_sq = jnp.sum(x2 * x2, axis=0, keepdims=True)      # [1, C]
+    hp = jax.lax.Precision.HIGHEST  # stats need full fp32, not bf16 MXU passes
+    g_sum = jnp.dot(ch_sum, M, preferred_element_type=jnp.float32,
+                    precision=hp)                                    # [1, G]
+    g_sq = jnp.dot(ch_sq, M, preferred_element_type=jnp.float32,
+                   precision=hp)                                     # [1, G]
+    mean_g = g_sum / n
+    var_g = g_sq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast per-group stats back to channels: [1, G] @ Mᵀ → [1, C]
+    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32,
+                     precision=hp)
+    inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32,
+                    precision=hp)
+
+    y = (x2 - mean_c) * inv_c * scale_ref[:] + bias_ref[:]
+    y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.reshape(h, w, c).astype(o_ref.dtype)
 
 
 def groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

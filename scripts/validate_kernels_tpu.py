@@ -1,20 +1,27 @@
-"""Validate the Pallas kernels against their XLA references on a real TPU.
+"""Validate + benchmark the Pallas kernels against XLA on a real TPU.
 
-Run this on a TPU runtime with native Mosaic compilation (NOT through the
-axon remote-compile tunnel, which cannot build Pallas kernels — see
-salun/kernels/attention.py::_use_flash). Usage:
+All calls are jitted (timing an unjitted pallas_call measures retracing,
+not the kernel). Prints correctness (max|diff| vs the XLA reference) and
+per-call latency for: flash attention fwd, flash attention fwd+bwd
+(custom-VJP pallas backward), fused GroupNorm+SiLU, fused masked-SGD.
 
-    SALUN_FORCE_FLASH=1 python scripts/validate_kernels_tpu.py
+Usage:  python scripts/validate_kernels_tpu.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from salun.kernels.attention import _xla_attention
-from salun.kernels.flash_attention import flash_attention
+from salun.kernels.flash_attention import (
+    flash_attention, flash_attention_trainable,
+)
 from salun.kernels.groupnorm_silu import groupnorm_silu, groupnorm_silu_reference
 from salun.kernels.masked_update import (
     BLOCK, masked_sgd_update, masked_sgd_update_reference,
@@ -31,45 +38,64 @@ def bench(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def maxdiff(a, b):
+    return max(float(jnp.max(jnp.abs(x - y)))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
 def main():
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend(), jax.devices())
 
-    # DDPM attention shape (res16: 256 tokens × 512ch)
-    q = jnp.asarray(rng.standard_normal((8, 256, 512)), jnp.float32)
-    k, v = q + 0.1, q - 0.1
-    a = flash_attention(q, k, v, scale=512**-0.5)
-    b = _xla_attention(q, k, v, 512**-0.5)
-    print("flash(256x512) max|diff|:", float(jnp.abs(a - b).max()))
+    # ---- flash attention: DDPM res16 shape and SD 64×64 self-attn shapes
+    for (b, n, d) in [(8, 256, 512), (8, 4096, 128), (16, 4096, 64)]:
+        q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        sc = d ** -0.5
+        f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=sc))
+        x = jax.jit(lambda q, k, v: _xla_attention(q, k, v, sc))
+        dd = maxdiff(f(q, k, v), x(q, k, v))
+        tf_, tx = bench(f, q, k, v), bench(x, q, k, v)
+        print(f"flash fwd ({b},{n},{d}): {tf_*1e3:.2f}ms vs xla "
+              f"{tx*1e3:.2f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
-    # SD-scale: 4096 tokens × 128 head-dim
-    q2 = jnp.asarray(rng.standard_normal((4, 4096, 128)), jnp.float32)
-    k2, v2 = q2 + 0.1, q2 - 0.1
-    tf = bench(lambda *x: flash_attention(*x, scale=128**-0.5), q2, k2, v2)
-    tx = bench(lambda *x: _xla_attention(*x, 128**-0.5), q2, k2, v2)
-    d = float(jnp.abs(
-        flash_attention(q2, k2, v2, scale=128**-0.5)
-        - _xla_attention(q2, k2, v2, 128**-0.5)).max())
-    print(f"flash(4096x128): {tf*1e3:.2f}ms vs xla {tx*1e3:.2f}ms, "
-          f"max|diff| {d:.2e}")
+        gf = jax.jit(jax.grad(
+            lambda q, k, v: flash_attention_trainable(q, k, v, sc).sum(),
+            argnums=(0, 1, 2)))
+        gx = jax.jit(jax.grad(
+            lambda q, k, v: _xla_attention(q, k, v, sc).sum(),
+            argnums=(0, 1, 2)))
+        dd = maxdiff(gf(q, k, v), gx(q, k, v))
+        tf_, tx = bench(gf, q, k, v), bench(gx, q, k, v)
+        print(f"flash bwd ({b},{n},{d}): {tf_*1e3:.2f}ms vs xla "
+              f"{tx*1e3:.2f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
-    x = jnp.asarray(rng.standard_normal((8, 32, 32, 128)), jnp.float32)
-    s = jnp.asarray(rng.standard_normal(128), jnp.float32)
-    bb = jnp.asarray(rng.standard_normal(128), jnp.float32)
-    d = float(jnp.abs(groupnorm_silu(x, s, bb)
-                      - groupnorm_silu_reference(x, s, bb)).max())
-    print("groupnorm_silu max|diff|:", d)
+    # ---- fused GroupNorm+SiLU (DDPM/SD block shapes)
+    for (b, h, c) in [(8, 32, 128), (2, 64, 320), (2, 32, 640)]:
+        xx = jnp.asarray(rng.standard_normal((b, h, h, c)), jnp.float32)
+        s = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        bb = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        f = jax.jit(lambda x, s, b2: groupnorm_silu(x, s, b2))
+        r = jax.jit(lambda x, s, b2: groupnorm_silu_reference(x, s, b2))
+        dd = maxdiff(f(xx, s, bb), r(xx, s, bb))
+        tf_, tx = bench(f, xx, s, bb), bench(r, xx, s, bb)
+        print(f"gn_silu ({b},{h}x{h},{c}): {tf_*1e3:.3f}ms vs xla "
+              f"{tx*1e3:.3f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
-    n = BLOCK * 4
+    # ---- fused masked-SGD update
+    n = BLOCK * 1024  # ~11M params scale
     p = jnp.asarray(rng.standard_normal(n), jnp.float32)
-    m = jnp.zeros(n)
+    m0 = jnp.zeros(n)
     g = jnp.asarray(rng.standard_normal(n), jnp.float32)
     mask = jnp.asarray(rng.random(n) > 0.5, jnp.float32)
     t0 = jnp.array(p)
-    wp, wm = masked_sgd_update_reference(p, m, g, mask, t0, 0.01)
-    gp, gm = masked_sgd_update(p, m, g, mask, t0, 0.01)
-    print("masked_sgd max|diff|:", float(jnp.abs(wp - gp).max()),
-          float(jnp.abs(wm - gm).max()))
+    f = jax.jit(lambda *a: masked_sgd_update(*a, 0.01))
+    r = jax.jit(lambda *a: masked_sgd_update_reference(*a, 0.01))
+    dd = maxdiff(f(p, m0, g, mask, t0), r(p, m0, g, mask, t0))
+    tf_, tx = bench(f, p, m0, g, mask, t0), bench(r, p, m0, g, mask, t0)
+    print(f"masked_sgd ({n/1e6:.0f}M): {tf_*1e3:.3f}ms vs xla "
+          f"{tx*1e3:.3f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
 
 if __name__ == "__main__":
