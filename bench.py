@@ -1,27 +1,234 @@
-"""Headline benchmark: SalUn masked-RL unlearning throughput.
+"""Benchmarks for the SalUn-TPU hot paths, on the real cost centers.
 
-Measures the hot loop of the SalUn classification recipe
-(Classification/README.md:34 — ResNet-18, CIFAR-10 shapes, batch 256,
-masked RL step: fwd + bwd + grad·mask + SGD + θ₀ restore, all fused in one
-jitted step) on the available accelerator, in images/sec.
+Headline (the ONE stdout JSON line the driver records): the DDPM
+saliency-unlearn step — the flagship workload (CIFAR-10 CFG U-Net ch=128,
+batch 128 remain + 128 forget, RL forget loss, grad clip, grad·mask, Adam —
+reference DDPM/runners/diffusion.py:519-595, configs/cifar10_saliency_
+unlearn.yml). Secondary metrics go to stderr:
 
-Baseline: the reference implementation's per-step work on an A100 —
-PyTorch ResNet-18 CIFAR train step plus two Python dict walks over all 62
-parameter tensors per step (unlearn/RL.py:11-34) — measured ≈2500 img/s in
-BASELINE.md's ≥3× wall-clock framing. vs_baseline = ours / 2500.
+  - mask-generation wall-clock on ResNet-18 (11.2M params): saliency
+    accumulation over the 4,500-image forget set (reference recipe,
+    Classification/README.md:23) + the full 0.1–1.0 threshold sweep, with
+    the torch-CPU double-argsort sweep (generate_mask.py:50-82) measured
+    in-process for an honest algorithmic ratio;
+  - the classification masked-RL step (ResNet-18, bs 256) from round 1.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline derivation (documented, not hand-waved): the reference runs
+this exact step in eager torch on A100 (312 TFLOP/s bf16 peak). We count
+the step's actual FLOPs with XLA's cost model and grant the reference 30%
+MFU — generous for eager convnets plus its per-step Python mask walk over
+every parameter tensor (diffusion.py:589-592) and DataParallel
+scatter/gather. baseline_steps/s = 312e12 * 0.30 / FLOPs_per_step;
+vs_baseline = ours / baseline. Our own MFU is reported per metric.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+A100_PEAK = 312e12
+A100_ASSUMED_MFU = 0.30
 
-def main():
+PEAK_BF16 = {  # per-chip dense bf16 peak FLOP/s
+    "v4": 275e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
+
+def _peak():
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in PEAK_BF16.items():
+        if k in kind:
+            return v, kind
+    return 197e12, kind
+
+
+def _flops(jitted, *args):
+    """XLA-counted FLOPs of one call (0.0 if the backend won't say)."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _log(obj):
+    print(json.dumps(obj), file=sys.stderr, flush=True)
+
+
+# ------------------------------------------------------------------ DDPM
+
+
+def bench_ddpm_salun_step():
+    from salun.core import threshold_mask
+    from salun.diffusion import DiffusionSchedule, UNetConfig
+    from salun.diffusion.runner import DDPMRunner, DDPMTrainConfig, \
+        make_optimizer
+
+    bs = 128
+    cfgt = DDPMTrainConfig(ema=False, method="rl", alpha=1e-3, lr=1e-4,
+                           batch_size=bs)
+    # bf16 compute (fp32 params/optimizer) — the TPU-native configuration;
+    # the reference trains fp32 eager torch with no AMP.
+    unet_cfg = UNetConfig(dtype=jnp.bfloat16)
+    schedule = DiffusionSchedule.create(
+        beta_schedule="linear", beta_start=1e-4, beta_end=2e-2,
+        num_diffusion_timesteps=1000, var_type="fixedlarge")
+    runner = DDPMRunner(unet_cfg, schedule, cfgt)
+
+    key = jax.random.PRNGKey(0)
+    params = runner.init(key)
+    sal = jax.tree.map(
+        lambda p: jnp.abs(jax.random.normal(
+            jax.random.PRNGKey(1), p.shape)), params)
+    mask = jax.jit(lambda s: threshold_mask(s, 0.5))(sal)
+    tx = make_optimizer(cfgt, mask=mask)
+    opt_state = tx.init(params)
+    carry = (params, opt_state, None)
+    step = runner.make_saliency_unlearn_step(tx, mask=mask)
+
+    rng = np.random.RandomState(0)
+
+    def batch(label):
+        return {
+            "image": jnp.asarray(
+                rng.randint(0, 255, (bs, 32, 32, 3), np.uint8)),
+            "label": jnp.full((bs,), label, jnp.int32),
+        }
+
+    remain, forget = batch(1), batch(0)
+    flops = _flops(step, carry, remain, forget, key)
+
+    for i in range(2):
+        carry, loss = step(carry, remain, forget, jax.random.PRNGKey(i))
+    jax.block_until_ready(carry[0])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry, loss = step(carry, remain, forget, jax.random.PRNGKey(10 + i))
+    jax.block_until_ready(carry[0])
+    dt = time.perf_counter() - t0
+
+    steps_s = iters / dt
+    ips = bs * steps_s  # reference accounting: bs=128 per iteration
+    peak, kind = _peak()
+    mfu = flops * steps_s / peak if flops else None
+    baseline_steps_s = (A100_PEAK * A100_ASSUMED_MFU / flops) if flops else None
+    vs = steps_s / baseline_steps_s if baseline_steps_s else None
+    _log({"metric": "ddpm_salun_rl_unlearn_step", "images_per_sec": round(ips, 1),
+          "steps_per_sec": round(steps_s, 3), "flops_per_step": flops,
+          "mfu": round(mfu, 4) if mfu else None, "device": kind,
+          "a100_baseline_steps_per_sec":
+              round(baseline_steps_s, 3) if baseline_steps_s else None})
+    return {
+        "metric": "ddpm_salun_rl_unlearn_throughput",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 3) if vs else 0.0,
+    }
+
+
+# -------------------------------------------------------------- mask gen
+
+
+def bench_maskgen():
+    from salun.core import accumulate_saliency, generate_masks
+    from salun.core.mask import DEFAULT_THRESHOLDS
+    from salun.core.train import cross_entropy
+    from salun.models import create_model
+
+    bs = 256
+    n_forget = 4500  # Classification/README.md:23 recipe
+    model = create_model("resnet18", num_classes=10)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, 32, 32, 3)), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+
+    rng = np.random.RandomState(0)
+    batches = [
+        {"image": rng.randint(0, 255, (bs, 32, 32, 3), np.uint8),
+         "label": rng.randint(0, 10, (bs,), np.int32)}
+        for _ in range((n_forget + bs - 1) // bs)
+    ]
+
+    def grad_fn(p, batch):
+        def loss(p):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["image"].astype(jnp.float32) / 255.0, train=False)
+            return -cross_entropy(out, batch["label"])
+        return jax.grad(loss)(p)
+
+    dev_batches = [jax.tree.map(jnp.asarray, b) for b in batches]
+    # warmup compile
+    sal = accumulate_saliency(grad_fn, params, dev_batches[:1])
+    _ = generate_masks(sal, DEFAULT_THRESHOLDS)
+    jax.block_until_ready(jax.tree.leaves(_[0.5])[0])
+
+    t0 = time.perf_counter()
+    sal = accumulate_saliency(grad_fn, params, dev_batches)
+    t_acc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    masks = generate_masks(sal, DEFAULT_THRESHOLDS)
+    jax.block_until_ready(jax.tree.leaves(masks[1.0])[0])
+    t_sweep = time.perf_counter() - t0
+
+    # the reference's sweep, measured: double argsort over the 11M-element
+    # concat per threshold (generate_mask.py:50-82) in torch on this host
+    t_torch_sweep = None
+    try:
+        import torch
+
+        g = {k: torch.tensor(np.asarray(v)) for k, v in
+             enumerate_leaves(sal)}
+        t0 = time.perf_counter()
+        for thr in DEFAULT_THRESHOLDS:
+            all_elements = -torch.cat([t.flatten() for t in g.values()])
+            threshold_index = int(len(all_elements) * thr)
+            positions = torch.argsort(all_elements)
+            ranks = torch.argsort(positions)
+            start = 0
+            for k, tensor in g.items():
+                n = tensor.numel()
+                tr = ranks[start:start + n]
+                tt = torch.zeros_like(tr)
+                tt[tr < threshold_index] = 1
+                tt.reshape(tensor.shape)
+                start += n
+        t_torch_sweep = time.perf_counter() - t0
+    except Exception:
+        pass
+
+    _log({"metric": "maskgen_resnet18",
+          "n_params": n_params,
+          "saliency_accum_ms": round(t_acc * 1e3, 1),
+          "threshold_sweep_ms": round(t_sweep * 1e3, 1),
+          "total_ms": round((t_acc + t_sweep) * 1e3, 1),
+          "torch_cpu_sweep_ms":
+              round(t_torch_sweep * 1e3, 1) if t_torch_sweep else None,
+          "sweep_speedup_vs_torch_cpu":
+              round(t_torch_sweep / t_sweep, 2) if t_torch_sweep else None,
+          "images_per_sec": round(n_forget / t_acc, 1)})
+
+
+def enumerate_leaves(tree):
+    return list(enumerate(jax.tree.leaves(tree)))
+
+
+# ------------------------------------------------- classification RL step
+
+
+def bench_resnet_rl():
     from salun.core import masked_opt, threshold_mask
     from salun.core.train import TrainState, make_train_step
     from salun.models import create_model
@@ -29,13 +236,11 @@ def main():
     batch = 256
     model = create_model("resnet18", num_classes=10, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-    variables = model.init(key, x0, train=False)
+    variables = model.init(key, jnp.zeros((batch, 32, 32, 3)), train=False)
 
     sal = jax.tree.map(
         lambda p: jnp.abs(jax.random.normal(jax.random.PRNGKey(1), p.shape)),
-        variables["params"],
-    )
+        variables["params"])
     mask = jax.jit(lambda s: threshold_mask(s, 0.5))(sal)
     theta0 = jax.tree.map(jnp.copy, variables["params"])
     tx = masked_opt.masked_sgd_fused(0.013, 0.9, 5e-4, mask, theta0)
@@ -49,8 +254,8 @@ def main():
         "label": jnp.asarray(rng.randint(0, 10, (batch,), np.int32)),
         "weight": jnp.ones((batch,), jnp.float32),
     }
+    flops = _flops(step, state, data, key)
 
-    # warmup / compile
     for i in range(3):
         state, m = step(state, data, jax.random.PRNGKey(i))
     jax.block_until_ready(state.params)
@@ -63,13 +268,22 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
-    baseline_a100 = 2500.0
-    print(json.dumps({
-        "metric": "salun_rl_masked_unlearn_throughput",
-        "value": round(ips, 1),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / baseline_a100, 3),
-    }))
+    peak, kind = _peak()
+    mfu = flops * iters / dt / peak if flops else None
+    _log({"metric": "salun_rl_masked_unlearn_throughput",
+          "images_per_sec": round(ips, 1),
+          "flops_per_step": flops,
+          "mfu": round(mfu, 4) if mfu else None, "device": kind})
+
+
+def main():
+    headline = bench_ddpm_salun_step()
+    try:
+        bench_maskgen()
+        bench_resnet_rl()
+    except Exception as e:  # secondary metrics must never kill the headline
+        _log({"secondary_bench_error": repr(e)})
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

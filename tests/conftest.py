@@ -34,9 +34,37 @@ if not os.path.exists(_SYNTH_MERGES):
 os.environ.setdefault("SALUN_CLIP_BPE", _SYNTH_MERGES)
 
 
+# Tests measured >~40s on the CPU backend (full-suite --durations run, r2).
+# Everything else is the quick tier; run these with -m "slow or not slow".
+_SLOW = {
+    "test_generate_mask_sd",
+    "test_remaining_methods_run[fisher_new]",
+    "test_ddpm_generate_mask_and_unlearn",
+    "test_salun_rl_unlearns",
+    "test_random_label_step_runs",
+    "test_generate_mask_half",
+    "test_ddpm_train_mode",
+    "test_generate_mask_cli_synthetic",
+    "test_inception_v3_shapes",
+    "test_main_random_rl_synthetic",
+    "test_masked_train_step_sharding_invariance",
+    "test_esd_step_runs",
+    "test_fim_runs",
+    "test_sd_unet_tp_pspecs",
+    "test_saliency_accumulation_sharding_invariance",
+    "test_other_methods_run[fisher]",
+    "test_other_methods_run[wfisher]",
+    "test_ddpm_resume_matches_straight_run",
+    "test_main_train_resume_matches_straight_run",
+    "test_main_random_resume_skips_unlearning",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     # Everything not marked slow is the quick tier (`-m quick`).
     for item in items:
+        if item.name in _SLOW:
+            item.add_marker(pytest.mark.slow)
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.quick)
 

@@ -73,3 +73,40 @@ def test_inception_v3_shapes(key):
     assert spatial.shape[0] == 1
     assert sm.shape == (1, 1008)
     np.testing.assert_allclose(np.asarray(sm).sum(), 1.0, rtol=1e-5)
+
+
+def test_pool3_parity_vs_pytorch_fid_weights():
+    """FID comparability gate (SURVEY 'hard parts'): flax InceptionV3 pool3
+    activations must match the pytorch-fid network on the same image.
+
+    Needs the pytorch-fid checkpoint (pt_inception-2015-12-05-*.pth);
+    zero-egress containers skip. Point SALUN_INCEPTION_PT at the file."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    path = os.environ.get("SALUN_INCEPTION_PT", "")
+    if not path or not os.path.exists(path):
+        pytest.skip("pytorch-fid inception weights not available")
+    torch = pytest.importorskip("torch")
+
+    from salun.evalx.inception import load_params, make_feature_fn
+
+    params, batch_stats = load_params(path)
+    fn = make_feature_fn(params, batch_stats, batch_size=2)
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 299, 299, 3)).astype(np.float32)
+    ours = fn(imgs)
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    # pytorch-fid's FIDInceptionA/... graph is needed for a full forward;
+    # when the package is present, compare end-to-end.
+    fid_mod = pytest.importorskip("pytorch_fid.inception")
+    net = fid_mod.InceptionV3([3], resize_input=False,
+                              normalize_input=False)
+    net.eval()
+    with torch.no_grad():
+        x = torch.tensor(imgs.transpose(0, 3, 1, 2)) * 2 - 1
+        ref = net(x)[0].squeeze(-1).squeeze(-1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
