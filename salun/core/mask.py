@@ -20,6 +20,8 @@ concatenation — O(N) per pass, shards over a mesh with psum reductions.
 
 from __future__ import annotations
 
+import weakref
+from functools import partial
 from typing import Callable, Iterable, Sequence
 
 import jax
@@ -44,22 +46,44 @@ def accumulate_saliency(
     ``grad_fn`` returns the gradient pytree of the forgetting loss for one
     batch (classification: loss = -CE, generate_mask.py:36; diffusion
     variants pass their own loss). The accumulation step is jitted with a
-    donated accumulator so XLA updates it in place.
+    donated accumulator so XLA updates it in place; the jitted step is
+    memoized per ``grad_fn`` so repeated calls (warmup + timed run,
+    multiple epochs) reuse one compiled program instead of re-tracing a
+    fresh closure each call.
     """
-
-    @jax.jit
-    def _acc(acc, batch):
-        g = grad_fn(params, batch)
-        return jax.tree.map(
-            lambda a, b: a + b.astype(jnp.float32), acc, g
-        )
-
+    acc_step = _acc_step_for(grad_fn)
     acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
     for batch in batches:
-        acc = _acc(acc, batch)
+        acc = acc_step(params, acc, batch)
     if abs_value:
-        acc = jax.jit(lambda t: jax.tree.map(jnp.abs, t))(acc)
+        acc = _tree_abs(acc)
     return acc
+
+
+_ACC_STEPS = weakref.WeakKeyDictionary()
+
+
+def _acc_step_for(grad_fn):
+    step = _ACC_STEPS.get(grad_fn)
+    if step is None:
+
+        @partial(jax.jit, donate_argnums=1)
+        def step(params, acc, batch):
+            g = grad_fn(params, batch)
+            return jax.tree.map(
+                lambda a, b: a + b.astype(jnp.float32), acc, g
+            )
+
+        try:
+            _ACC_STEPS[grad_fn] = step
+        except TypeError:  # non-weakrefable callable: skip memoization
+            pass
+    return step
+
+
+@jax.jit
+def _tree_abs(tree):
+    return jax.tree.map(jnp.abs, tree)
 
 
 def threshold_mask(abs_saliency, threshold: float):

@@ -76,8 +76,11 @@ def bench_pil(n, batch, size=224):
     for s in range(0, n, batch):
         dec.map(records[s:s + batch])
     par = n / (time.perf_counter() - t0)
+    import os
     print(f"PIL decode+resize: serial {serial:,.0f} img/s → "
-          f"thread-pool {par:,.0f} img/s ({par/serial:.1f}x)")
+          f"thread-pool {par:,.0f} img/s ({par/serial:.1f}x on "
+          f"{os.cpu_count()} host core(s); scaling needs cores — PIL "
+          f"releases the GIL, the pool is core-bound)")
     return par
 
 

@@ -15,6 +15,15 @@ import jax  # noqa: E402
 # The container's sitecustomize imports jax with JAX_PLATFORMS=axon before
 # conftest runs, so the env var alone is ignored; force the config instead.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated on this
+# single-core host (~70% of quick-tier wall is XLA compiles of repeated
+# model graphs); caching cuts repeat runs to a fraction.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/salun_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

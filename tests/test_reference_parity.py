@@ -352,3 +352,63 @@ def test_rl_trajectory_matches_reference_hooks(rng, fused):
         t0 = np.asarray(tree_get(theta0, path))
         m = mask_np[tname].T if transpose else mask_np[tname]
         np.testing.assert_array_equal(got[m == 0], t0[m == 0])
+
+
+# ---------------------------------------------------------------------------
+# DDPM/SD optimizer-chain semantics: clip → grad·mask → Adam
+# (DDPM/runners/diffusion.py:585-595 / SD/train-scripts/random_label.py:128-141)
+# ---------------------------------------------------------------------------
+
+
+def test_ddpm_clip_mask_adam_matches_torch(rng):
+    """The production make_optimizer chain vs the reference's verbatim
+    sequence — torch clip_grad_norm_(1.0), in-place grad×mask, real
+    torch.optim.Adam — on an identical 60-step gradient stream with norms
+    straddling the clip threshold."""
+    from salun.diffusion.runner import DDPMTrainConfig, make_optimizer
+
+    shapes = {"a": (7, 5), "b": (13,), "c": (3, 4, 2)}
+    theta = {k: rng.standard_normal(s).astype(np.float32)
+             for k, s in shapes.items()}
+    mask_np = {k: (rng.random(s) < 0.5).astype(np.float32)
+               for k, s in shapes.items()}
+
+    cfg = DDPMTrainConfig(lr=1e-3, beta1=0.9, eps=1e-8, grad_clip=1.0)
+    mask = {k: jnp.asarray(v) for k, v in mask_np.items()}
+    tx = make_optimizer(cfg, mask=mask)
+    params = {k: jnp.asarray(v) for k, v in theta.items()}
+    opt_state = tx.init(params)
+
+    t_params = {k: torch.nn.Parameter(torch.tensor(v)) for k, v in
+                theta.items()}
+    topt = torch.optim.Adam(t_params.values(), lr=cfg.lr,
+                            betas=(cfg.beta1, 0.999), eps=cfg.eps)
+    mask_t = {k: torch.tensor(v) for k, v in mask_np.items()}
+
+    for i in range(60):
+        # alternate sub-/super-threshold gradient norms to exercise both
+        # clip branches
+        scale = 0.02 if i % 3 == 0 else 2.0
+        g = {k: (scale * rng.standard_normal(s)).astype(np.float32)
+             for k, s in shapes.items()}
+
+        topt.zero_grad()
+        for k, p in t_params.items():
+            p.grad = torch.tensor(g[k])
+        torch.nn.utils.clip_grad_norm_(t_params.values(), cfg.grad_clip)
+        for k, p in t_params.items():          # diffusion.py:589-592
+            p.grad = p.grad * mask_t[k]
+        topt.step()
+
+        gj = {k: jnp.asarray(v) for k, v in g.items()}
+        upd, opt_state = tx.update(gj, opt_state, params)
+        params = optax.apply_updates(params, upd)
+
+    for k in shapes:
+        np.testing.assert_allclose(
+            np.asarray(params[k]), t_params[k].detach().numpy(),
+            rtol=2e-5, atol=1e-6, err_msg=f"param {k}")
+        # masked coords must never move
+        np.testing.assert_array_equal(
+            np.asarray(params[k])[mask_np[k] == 0],
+            theta[k][mask_np[k] == 0])
