@@ -42,11 +42,13 @@ def scaled_dot_attention(
     return _xla_attention(q, k, v, scale)
 
 
-# Measured on TPU v5e (scripts/validate_kernels_tpu.py, r2): flash wins
-# ~1.8–2.1× fwd and bwd at seq 4096 (64×64-latent self-attention) and
-# removes the O(N²) logits buffer; at seq ≤1024 XLA's fused path is equal
-# or faster. Dispatch accordingly.
-_FLASH_MIN_SEQ = 2048
+# Measured on TPU v5e with in-graph scan timing (scripts/autotune_flash.py
+# — python-loop timing is untrustworthy on the axon remote backend): with
+# the autotuned (512, 1024) tile, flash wins fwd+bwd 2.1–2.8× at seq 4096
+# (SD 64×64 self-attention) and 1.2–2.0× at seq 1024 (SD 32×32), while
+# removing the O(N²) logits buffer; at seq 256 (SD 16×16, DDPM res16) XLA
+# is equal-or-faster (0.6–1.0×). Dispatch accordingly.
+_FLASH_MIN_SEQ = 1024
 
 
 def _use_flash(q, k) -> bool:
@@ -65,7 +67,12 @@ def _use_flash(q, k) -> bool:
     if min(nq, nk) < _FLASH_MIN_SEQ and not os.environ.get(
             "SALUN_FORCE_FLASH"):
         return False
-    return nq % 128 == 0 and nk % 128 == 0 and c % 8 == 0
+    from .flash_attention import DEFAULT_BK, DEFAULT_BQ
+
+    # blocks clamp to the sequence length, so the grid only tiles evenly
+    # when N is a multiple of the (clamped) block
+    return (nq % min(DEFAULT_BQ, nq) == 0 and nk % min(DEFAULT_BK, nk) == 0
+            and nq % 128 == 0 and nk % 128 == 0 and c % 8 == 0)
 
 
 def multi_head_attention(q, k, v, num_heads: int, *, scale=None):

@@ -22,8 +22,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 256
-DEFAULT_BK = 512
+# Autotuned on v5e (scripts/autotune_flash.py, scan-based timing): the
+# (512, 1024) tile wins every 4096-seq shape swept (d ∈ {40, 64, 128},
+# B ∈ {8, 16, 32}) at 2.1–2.8× XLA fwd+bwd; larger tiles plateau and
+# bq=1024×bk=4096 fails Mosaic compile. Shorter sequences clamp to N.
+DEFAULT_BQ = 512
+DEFAULT_BK = 1024
 _NEG_INF = -1e30  # avoids -inf NaN traps in exp(m_prev - m_new) on step 0
 
 

@@ -57,10 +57,20 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
     o_ref[0] = y.reshape(h, w, c).astype(o_ref.dtype)
 
 
+# One grid program holds ~4 fp32 copies of an [H, W, C] row (input, the
+# flattened working copy, the normalized output, and the out block) on the
+# 16 MB VMEM stack — rows beyond ~1M elements (e.g. SD's 64×64×320) OOM
+# Mosaic's scoped allocation, so fall back to XLA there.
+_MAX_ROW_ELEMS = 1_000_000
+
+
 def groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                    *, groups: int = 32, eps: float = 1e-6) -> jnp.ndarray:
     """Fused y = silu(groupnorm(x)·scale + bias), x NHWC."""
     b, h, w, c = x.shape
+    if h * w * c > _MAX_ROW_ELEMS:
+        return groupnorm_silu_reference(x, scale, bias, groups=groups,
+                                        eps=eps)
     kernel = functools.partial(_gn_silu_kernel, groups=groups, eps=eps)
     return pl.pallas_call(
         kernel,

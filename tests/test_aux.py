@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_metrics_writer(tmp_path):
@@ -33,6 +34,7 @@ def test_run_commands(tmp_path):
     assert "TPU_VISIBLE_DEVICES=0" in text
 
 
+@pytest.mark.slow  # ~30s of XLA compiles (train_with_rewind epochs)
 def test_omp_prune(key, rng):
     from salun.core import masked_opt
     from salun.core.omp import omp_prune

@@ -127,3 +127,34 @@ def test_plms_matches_loop_reference(rng):
         if len(old) > 3:
             old.pop(0)
     np.testing.assert_allclose(np.asarray(got), x, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_dispatch_policy(monkeypatch):
+    """_use_flash: TPU-only, seq ≥ 1024, and the grid must tile evenly
+    with the (clamped) autotuned blocks — a 1280-seq is 128-aligned but
+    not block-aligned and must stay on XLA."""
+    from salun.kernels import attention as A
+
+    def mk(n, c=64, nk=None):
+        q = jnp.zeros((2, n, c))
+        k = jnp.zeros((2, nk if nk is not None else n, c))
+        return q, k
+
+    monkeypatch.delenv("SALUN_FORCE_FLASH", raising=False)
+    monkeypatch.delenv("SALUN_DISABLE_FLASH", raising=False)
+
+    # not on TPU → never
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "cpu")
+    assert not A._use_flash(*mk(4096))
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    assert A._use_flash(*mk(4096))
+    assert A._use_flash(*mk(1024))
+    assert not A._use_flash(*mk(256))        # below threshold
+    assert not A._use_flash(*mk(1280))       # 128-aligned, not block-aligned
+    assert not A._use_flash(*mk(4096, c=60))  # channel not 8-aligned
+    # cross-attention: short kv side (77-token text) stays on XLA
+    assert not A._use_flash(*mk(4096, nk=128))
+
+    monkeypatch.setenv("SALUN_DISABLE_FLASH", "1")
+    assert not A._use_flash(*mk(4096))
