@@ -70,7 +70,13 @@ def _aot(jitted, *args):
     timings from a single compilation (calling the jitted fn would
     trigger a second, separate compile in the jit cache — multi-minute
     over the axon remote-compile tunnel)."""
-    compiled = jitted.lower(*args).compile()
+    t0 = time.perf_counter()
+    lowered = jitted.lower(*args)
+    _log({"aot_lower_s": round(time.perf_counter() - t0, 1)})
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    _log({"aot_compile_s": round(time.perf_counter() - t0, 1)})
+    t0 = time.perf_counter()
     try:
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
@@ -78,10 +84,15 @@ def _aot(jitted, *args):
         flops = float(analysis.get("flops", 0.0))
     except Exception:
         flops = 0.0
+    _log({"aot_cost_analysis_s": round(time.perf_counter() - t0, 1)})
     return compiled, flops
 
 
+_T0 = time.perf_counter()
+
+
 def _log(obj):
+    obj = {"t_s": round(time.perf_counter() - _T0, 1), **obj}
     print(json.dumps(obj), file=sys.stderr, flush=True)
 
 
@@ -89,6 +100,7 @@ def _log(obj):
 
 
 def bench_ddpm_salun_step():
+    _log({"phase": "ddpm_start"})
     from salun.core import threshold_mask
     from salun.diffusion import DiffusionSchedule, UNetConfig
     from salun.diffusion.runner import DDPMRunner, DDPMTrainConfig, \
@@ -107,11 +119,20 @@ def bench_ddpm_salun_step():
 
     key = jax.random.PRNGKey(0)
     params = runner.init(key)
-    sal = jax.tree.map(
-        lambda p: jnp.abs(jax.random.normal(
-            jax.random.PRNGKey(1), p.shape)), params)
-    mask = jax.jit(lambda s: threshold_mask(s, 0.5))(sal)
+
+    # one jitted program for the synthetic saliency + mask (eager per-leaf
+    # ops cost a remote dispatch each over the axon tunnel)
+    @jax.jit
+    def _mk_mask(params):
+        sal = jax.tree.map(
+            lambda p: jnp.abs(jax.random.normal(
+                jax.random.PRNGKey(1), p.shape)), params)
+        return threshold_mask(sal, 0.5)
+
+    mask = _mk_mask(params)
     tx = make_optimizer(cfgt, mask=mask)
+    # eager init, NOT jitted: the mask rides in the opt state, and a
+    # jitted init would embed it back into the graph as HLO literals
     opt_state = tx.init(params)
     carry = (params, opt_state, None)
     step = runner.make_saliency_unlearn_step(tx, mask=mask)
@@ -126,7 +147,9 @@ def bench_ddpm_salun_step():
         }
 
     remain, forget = batch(1), batch(0)
+    _log({"phase": "ddpm_aot_start"})
     step_c, flops = _aot(step, carry, remain, forget, key)
+    _log({"phase": "ddpm_aot_done"})
 
     for i in range(2):
         carry, loss = step_c(carry, remain, forget, jax.random.PRNGKey(i))
@@ -163,6 +186,7 @@ def bench_ddpm_salun_step():
 
 
 def bench_maskgen():
+    _log({"phase": "maskgen_start"})
     from salun.core import accumulate_saliency, generate_masks
     from salun.core.mask import DEFAULT_THRESHOLDS
     from salun.core.train import cross_entropy
@@ -172,7 +196,8 @@ def bench_maskgen():
     n_forget = 4500  # Classification/README.md:23 recipe
     model = create_model("resnet18", num_classes=10)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, jnp.zeros((1, 32, 32, 3)), train=False)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 32, 32, 3)), train=False))(key)
     params, batch_stats = variables["params"], variables["batch_stats"]
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
 
@@ -252,6 +277,7 @@ def enumerate_leaves(tree):
 
 
 def bench_resnet_rl():
+    _log({"phase": "rl_start"})
     from salun.core import masked_opt, threshold_mask
     from salun.core.train import TrainState, make_train_step
     from salun.models import create_model
@@ -259,13 +285,17 @@ def bench_resnet_rl():
     batch = 256
     model = create_model("resnet18", num_classes=10, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    variables = model.init(key, jnp.zeros((batch, 32, 32, 3)), train=False)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((batch, 32, 32, 3)), train=False))(key)
 
-    sal = jax.tree.map(
-        lambda p: jnp.abs(jax.random.normal(jax.random.PRNGKey(1), p.shape)),
-        variables["params"])
-    mask = jax.jit(lambda s: threshold_mask(s, 0.5))(sal)
-    theta0 = jax.tree.map(jnp.copy, variables["params"])
+    @jax.jit
+    def _mk(params):
+        sal = jax.tree.map(
+            lambda p: jnp.abs(jax.random.normal(
+                jax.random.PRNGKey(1), p.shape)), params)
+        return threshold_mask(sal, 0.5), jax.tree.map(jnp.copy, params)
+
+    mask, theta0 = _mk(variables["params"])
     tx = masked_opt.masked_sgd_fused(0.013, 0.9, 5e-4, mask, theta0)
     state = TrainState.create(variables, tx)
     step = make_train_step(model, tx, use_augment=True, random_labels=True,
@@ -277,7 +307,9 @@ def bench_resnet_rl():
         "label": jnp.asarray(rng.randint(0, 10, (batch,), np.int32)),
         "weight": jnp.ones((batch,), jnp.float32),
     }
+    _log({"phase": "rl_aot_start"})
     step_c, flops = _aot(step, state, data, key)
+    _log({"phase": "rl_aot_done"})
 
     for i in range(3):
         state, m = step_c(state, data, jax.random.PRNGKey(i))

@@ -29,6 +29,7 @@ from salun.sd import SDModules, data as sd_data, import_compvis, \
 from salun.sd.trainers import (
     make_esd_step, make_gradient_ascent_step, make_random_label_step,
     make_sd_optimizer, proximal_shrink, sd_generate_mask, trainable_mask,
+    with_mask,
 )
 from salun.utils.rng import seed_all
 from salun.utils.tree import tree_size
@@ -147,7 +148,10 @@ def main(argv=None):
         return
 
     mask = load_unet_mask(args, params["unet"])
-    tx = make_sd_optimizer(params["unet"], args.lr, args.train_method)
+    # saliency masking rides in the optimizer state (trainers.with_mask) —
+    # init AFTER wrapping so the opt-state structure matches the step's tx
+    tx = with_mask(
+        make_sd_optimizer(params["unet"], args.lr, args.train_method), mask)
     carry = (jax.tree.map(jnp.copy, params["unet"]),
              tx.init(params["unet"]))
 
@@ -158,7 +162,7 @@ def main(argv=None):
         step_maker = (make_gradient_ascent_step
                       if args.cmd == "gradient_ascent"
                       else make_random_label_step)
-        step = step_maker(modules, tx, mask=mask, alpha=args.alpha)
+        step = step_maker(modules, tx, alpha=args.alpha)
         theta_init = (jax.tree.map(jnp.copy, carry[0])
                       if args.cmd == "proximal" else None)
         n_params = tree_size(carry[0])
@@ -198,7 +202,7 @@ def main(argv=None):
     elif args.cmd == "nsfw_removal":
         forget_ds = sd_data.load_image_folder(args.forget_dir, args.image_size)
         remain_ds = sd_data.load_image_folder(args.remain_dir, args.image_size)
-        step = make_random_label_step(modules, tx, mask=mask, alpha=args.alpha)
+        step = make_random_label_step(modules, tx, alpha=args.alpha)
         ids_nude = tokenize([sd_data.WORD_NUDE] * args.batch_size)
         ids_wear = tokenize([sd_data.WORD_WEAR] * args.batch_size)
         rng = np.random.RandomState(args.seed)
@@ -222,7 +226,7 @@ def main(argv=None):
             print(f"epoch {epoch} loss {float(loss):.4f}")
     elif args.cmd == "esd":
         words = [w.strip() for w in args.prompt.split(",")] or [args.prompt]
-        step = make_esd_step(modules, tx, mask=mask,
+        step = make_esd_step(modules, tx,
                              negative_guidance=args.negative_guidance,
                              start_guidance=args.start_guidance,
                              ddim_steps=args.ddim_steps, image_size=latent)

@@ -25,16 +25,31 @@ import jax.numpy as jnp
 import optax
 
 
+# NB on state-carried masks: every transform below stores its mask (and
+# theta0) in the optimizer STATE rather than capturing it in the update
+# closure. A closed-over pytree is embedded into the jitted step's HLO as
+# literal constants — 143 MB of literals for a 35.7M-param mask (GBs for
+# SD) — which makes every (re)compile minutes-slow and bloats the compile
+# cache; as a state leaf it is just another device-array argument.
+# Corollary: tx.init must run EAGERLY (jitting init would re-embed the
+# mask into the init graph's output literals).
+
+
+class MaskGradsState(NamedTuple):
+    mask: Any
+
+
 def mask_grads(mask) -> optax.GradientTransformation:
     """``grads *= mask`` (mask is a pytree of 0/1 arrays matching params)."""
 
     def init(params):
         del params
-        return optax.EmptyState()
+        return MaskGradsState(mask=mask)
 
     def update(updates, state, params=None):
         del params
-        updates = jax.tree.map(lambda g, m: g * m.astype(g.dtype), updates, mask)
+        updates = jax.tree.map(lambda g, m: g * m.astype(g.dtype), updates,
+                               state.mask)
         return updates, state
 
     return optax.GradientTransformation(init, update)
@@ -42,6 +57,8 @@ def mask_grads(mask) -> optax.GradientTransformation:
 
 class MaskedState(NamedTuple):
     inner: optax.OptState
+    mask: Any
+    theta0: Any
 
 
 def masked(
@@ -61,22 +78,25 @@ def masked(
     """
 
     def init(params):
-        return MaskedState(inner=base.init(params))
+        return MaskedState(inner=base.init(params), mask=mask, theta0=theta0)
 
     def update(updates, state, params):
-        updates = jax.tree.map(lambda g, m: g * m.astype(g.dtype), updates, mask)
+        mask_, theta0_ = state.mask, state.theta0
+        updates = jax.tree.map(lambda g, m: g * m.astype(g.dtype), updates,
+                               mask_)
         new_updates, inner = base.update(updates, state.inner, params)
         # Zero momentum-like accumulators on masked-out coordinates. All
         # params-shaped leaves of the optimizer state (sgd trace, adam mu/nu)
         # are masked; step counters etc. are left alone.
         inner = optax.tree_utils.tree_map_params(
-            base, lambda s, m: s * m.astype(s.dtype), inner, mask
+            base, lambda s, m: s * m.astype(s.dtype), inner, mask_
         )
         new_updates = jax.tree.map(
             lambda u, m, p, t0: jnp.where(m > 0, u, t0 - p),
-            new_updates, mask, params, theta0,
+            new_updates, mask_, params, theta0_,
         )
-        return new_updates, MaskedState(inner=inner)
+        return new_updates, MaskedState(inner=inner, mask=mask_,
+                                        theta0=theta0_)
 
     return optax.GradientTransformation(init, update)
 
@@ -84,6 +104,8 @@ def masked(
 class FusedMaskedSGDState(NamedTuple):
     trace: Any
     count: jnp.ndarray
+    mask: Any
+    theta0: Any
 
 
 def masked_sgd_fused(
@@ -106,6 +128,8 @@ def masked_sgd_fused(
         return FusedMaskedSGDState(
             trace=jax.tree.map(jnp.zeros_like, params),
             count=jnp.zeros((), jnp.int32),
+            mask=mask,
+            theta0=theta0,
         )
 
     def update(grads, state, params):
@@ -123,15 +147,17 @@ def masked_sgd_fused(
         flat_g = jax.tree.leaves(grads)
         flat_b = jax.tree.leaves(state.trace)
         flat_p = jax.tree.leaves(params)
-        flat_m = jax.tree.leaves(mask)
-        flat_t = jax.tree.leaves(theta0)
+        flat_m = jax.tree.leaves(state.mask)
+        flat_t = jax.tree.leaves(state.theta0)
         outs = [one(*args) for args in zip(flat_g, flat_b, flat_p, flat_m,
                                            flat_t)]
         treedef = jax.tree.structure(grads)
         updates = jax.tree.unflatten(treedef, [o[0] for o in outs])
         trace = jax.tree.unflatten(treedef, [o[1] for o in outs])
         return updates, FusedMaskedSGDState(trace=trace,
-                                            count=state.count + 1)
+                                            count=state.count + 1,
+                                            mask=state.mask,
+                                            theta0=state.theta0)
 
     return optax.GradientTransformation(init, update)
 

@@ -88,12 +88,20 @@ class DDPMRunner:
 
     def init(self, key) -> dict:
         s = self.unet_cfg.image_size
-        variables = self.model.init(
-            {"params": key}, jnp.zeros((1, s, s, self.unet_cfg.in_channels)),
-            jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
-            train=False, cond_drop_prob=0.0,
-        )
-        return variables["params"]
+
+        # jitted: flax init otherwise runs eagerly, op by op — hundreds of
+        # tiny dispatches, which is minutes over a remote-execution tunnel
+        @jax.jit
+        def _init(key):
+            variables = self.model.init(
+                {"params": key},
+                jnp.zeros((1, s, s, self.unet_cfg.in_channels)),
+                jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+                train=False, cond_drop_prob=0.0,
+            )
+            return variables["params"]
+
+        return _init(key)
 
     # ------------------------------------------------------------ losses
 

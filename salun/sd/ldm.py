@@ -18,6 +18,7 @@ deliberately NOT reproduced.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -66,19 +67,27 @@ class SDModules:
     # ------------------------------------------------------------ stages
 
     def init(self, key, image_size: int = 64):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        zc = self.vae.cfg.z_channels
-        unet_p = self.unet.init(
-            k1, jnp.zeros((1, image_size, image_size, zc)), jnp.zeros((1,)),
-            jnp.zeros((1, self.clip.cfg.max_length, self.clip.cfg.hidden_size)),
-        )["params"]
-        vae_p = self.vae.init(
-            k2, jnp.zeros((1, image_size * 8, image_size * 8, 3)), k4
-        )["params"]
-        clip_p = self.clip.init(
-            k3, jnp.zeros((1, self.clip.cfg.max_length), jnp.int32)
-        )["params"]
-        return {"unet": unet_p, "vae": vae_p, "clip": clip_p}
+        # jitted: eager flax init dispatches one tiny op per layer — minutes
+        # for the 860M-param stack over a remote-execution backend
+        @partial(jax.jit, static_argnums=1)
+        def _init(key, image_size):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            zc = self.vae.cfg.z_channels
+            unet_p = self.unet.init(
+                k1, jnp.zeros((1, image_size, image_size, zc)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, self.clip.cfg.max_length,
+                           self.clip.cfg.hidden_size)),
+            )["params"]
+            vae_p = self.vae.init(
+                k2, jnp.zeros((1, image_size * 8, image_size * 8, 3)), k4
+            )["params"]
+            clip_p = self.clip.init(
+                k3, jnp.zeros((1, self.clip.cfg.max_length), jnp.int32)
+            )["params"]
+            return {"unet": unet_p, "vae": vae_p, "clip": clip_p}
+
+        return _init(key, image_size)
 
     def encode_text(self, params, input_ids):
         """Frozen CLIP context (ddpm.py get_learned_conditioning)."""

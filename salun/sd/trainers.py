@@ -141,9 +141,23 @@ def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
 # ----------------------------------------------------------- RL / GA
 
 
-def make_random_label_step(modules: SDModules, tx, mask=None,
-                           alpha: float = 0.5):
-    """certain_label step (random_label.py:66-143)."""
+def with_mask(tx, mask):
+    """Wrap ``tx`` with saliency grad-masking (random_label.py:132-137).
+
+    The mask rides in the optimizer STATE (salun.core.masked_opt.mask_grads)
+    — closure-capturing an 860M-param mask pytree would embed GBs of HLO
+    literals into every jitted SD step. ``mask=None`` returns ``tx``.
+    """
+    if mask is None:
+        return tx
+    from salun.core.masked_opt import mask_grads
+
+    return optax.chain(mask_grads(mask), tx)
+
+
+def make_random_label_step(modules: SDModules, tx, alpha: float = 0.5):
+    """certain_label step (random_label.py:66-143). Saliency masking is
+    carried by ``tx`` (build it with ``with_mask``)."""
     T = modules.schedule.num_timesteps
 
     def loss_fn(unet_params, frozen, batch, key):
@@ -169,9 +183,6 @@ def make_random_label_step(modules: SDModules, tx, mask=None,
         unet_params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(unet_params, frozen, batch,
                                                   key)
-        if mask is not None:
-            grads = jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads,
-                                 mask)
         updates, opt_state = tx.update(grads, opt_state, unet_params)
         unet_params = optax.apply_updates(unet_params, updates)
         return (unet_params, opt_state), loss
@@ -179,10 +190,9 @@ def make_random_label_step(modules: SDModules, tx, mask=None,
     return step
 
 
-def make_gradient_ascent_step(modules: SDModules, tx, mask=None,
-                              alpha: float = 0.5):
+def make_gradient_ascent_step(modules: SDModules, tx, alpha: float = 0.5):
     """−shared_step(forget) + α·shared_step(remain)
-    (gradient_ascent.py:14-121)."""
+    (gradient_ascent.py:14-121). Masking rides in ``tx`` (``with_mask``)."""
 
     def loss_fn(unet_params, frozen, batch, key):
         params = dict(frozen, unet=unet_params)
@@ -198,9 +208,6 @@ def make_gradient_ascent_step(modules: SDModules, tx, mask=None,
         unet_params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(unet_params, frozen, batch,
                                                   key)
-        if mask is not None:
-            grads = jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads,
-                                 mask)
         updates, opt_state = tx.update(grads, opt_state, unet_params)
         unet_params = optax.apply_updates(unet_params, updates)
         return (unet_params, opt_state), loss
@@ -240,7 +247,7 @@ def proximal_shrink(unet_params, theta_init, ratio):
 # ----------------------------------------------------------- ESD
 
 
-def make_esd_step(modules: SDModules, tx, mask=None,
+def make_esd_step(modules: SDModules, tx,
                   negative_guidance: float = 1.0,
                   start_guidance: float = 3.0, ddim_steps: int = 50,
                   image_size: int = 64):
@@ -275,9 +282,6 @@ def make_esd_step(modules: SDModules, tx, mask=None,
             return jnp.mean(jnp.square(e_n - target))
 
         loss, grads = jax.value_and_grad(loss_fn)(unet_params)
-        if mask is not None:
-            grads = jax.tree.map(lambda g, m: g * m.astype(g.dtype), grads,
-                                 mask)
         updates, opt_state = tx.update(grads, opt_state, unet_params)
         unet_params = optax.apply_updates(unet_params, updates)
         return (unet_params, opt_state), loss

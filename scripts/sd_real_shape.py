@@ -87,14 +87,42 @@ def main():
     assert np.isfinite(float(loss)), "non-finite loss at real shape"
     assert np.isfinite(float(gnorm)), "non-finite grads at real shape"
 
+    # Steady state via in-graph lax.scan with a carried data dependency —
+    # python-loop timing is untrustworthy on the axon remote backend
+    # (independent dispatches pipeline/defer and can read ~0 ms).
+    @jax.jit
+    def run(params, images, context, key):
+        def body(carry, k):
+            loss, gnorm = _step_inner(params, carry, context, k)
+            return carry + (0.0 * loss).astype(carry.dtype), (loss, gnorm)
+        keys = jax.random.split(key, args.iters)
+        images_f, (losses, gnorms) = jax.lax.scan(body, images, keys)
+        return images_f, losses, gnorms
+
+    def _step_inner(params, images, context, key):
+        ke, kt, kn = jax.random.split(key, 3)
+        z0 = modules.encode_image(params, images, ke)
+        t = jax.random.randint(kt, (images.shape[0],), 0, 1000)
+        noise = jax.random.normal(kn, z0.shape)
+
+        def loss_fn(unet_params):
+            z_t = modules.q_sample(z0, t, noise)
+            out = modules.unet.apply(
+                {"params": unet_params}, z_t, t.astype(jnp.float32), context)
+            return jnp.square(noise - out).mean(axis=(1, 2, 3)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params["unet"])
+        return loss, optax_global_norm(grads)
+
+    out = run(params, images, context, jax.random.PRNGKey(2))
+    jax.block_until_ready(out[0])  # warm (compile)
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        loss, gnorm = train_step(params, images, context,
-                                 jax.random.PRNGKey(2 + i))
-    loss.block_until_ready()
+    out = run(params, images, context, jax.random.PRNGKey(3))
+    jax.block_until_ready(out[0])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"steady-state step: {dt*1e3:.1f} ms (batch {b}) "
-          f"→ {b/dt:.2f} img/s", flush=True)
+          f"→ {b/dt:.2f} img/s  (in-graph scan, {args.iters} iters)",
+          flush=True)
 
     stats = dev.memory_stats() or {}
     peak = stats.get("peak_bytes_in_use")

@@ -209,3 +209,50 @@ def test_diffusers_roundtrip(modules, params):
                                  num_res_blocks=1, attn_levels=(0, 1))
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params["unet"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_with_mask_state_carried(modules, params):
+    """Saliency masking via with_mask (state-carried, no closure literals):
+    zeroed-mask leaves must not move even inside the trainable subset."""
+    from salun.sd.trainers import with_mask
+    from salun.utils.tree import flatten_names
+
+    keys = jax.random.split(jax.random.PRNGKey(11),
+                            len(jax.tree.leaves(params["unet"])))
+    leaves, treedef = jax.tree.flatten(params["unet"])
+    unet_p = jax.tree.unflatten(treedef, [
+        l + 0.02 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)
+    ])
+    # mask: zero out every attn2 to_q leaf, keep the rest
+    mask = jax.tree.unflatten(treedef, [jnp.ones_like(l) for l in leaves])
+    flat_mask = flatten_names(mask)
+    mask_named = {k: (jnp.zeros_like(v) if "to_q" in k else v)
+                  for k, v in flat_mask.items()}
+    mask = jax.tree.unflatten(jax.tree.structure(mask),
+                              list(mask_named.values()))
+
+    tx = with_mask(make_sd_optimizer(unet_p, 1e-3, "xattn"), mask)
+    step = make_random_label_step(modules, tx, alpha=0.5)
+    unet0 = jax.tree.map(jnp.copy, unet_p)
+    carry = (jax.tree.map(jnp.copy, unet_p), tx.init(unet_p))
+    batch = {
+        "remain_images": jax.random.uniform(jax.random.PRNGKey(1),
+                                            (2, IMG, IMG, 3)) * 2 - 1,
+        "remain_ids": jnp.zeros((2, 8), jnp.int32),
+        "forget_images": jax.random.uniform(jax.random.PRNGKey(2),
+                                            (2, IMG, IMG, 3)) * 2 - 1,
+        "forget_ids": jnp.ones((2, 8), jnp.int32),
+        "pseudo_ids": 2 * jnp.ones((2, 8), jnp.int32),
+    }
+    carry, loss = step(carry, dict(params), batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+    moved = {
+        k: not np.allclose(np.asarray(a), np.asarray(b))
+        for (k, a), b in zip(flatten_names(carry[0]).items(),
+                             flatten_names(unet0).values())
+    }
+    assert not any(v for k, v in moved.items() if "to_q" in k), \
+        "masked-out to_q leaves moved"
+    assert any(v for k, v in moved.items()
+               if "attn2" in k and "to_q" not in k), \
+        "unmasked attn2 leaves should move"
