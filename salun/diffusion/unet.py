@@ -63,6 +63,13 @@ def group_norm(x, name: str, dtype=jnp.float32):
                         param_dtype=jnp.float32, name=name)(x)
 
 
+# NB: a fused GroupNorm→SiLU Pallas module exists
+# (salun.kernels.groupnorm_silu.GroupNormSiLU, checkpoint-compatible) but
+# is NOT wired in: measured end-to-end on v5e it costs ~20% of the DDPM
+# unlearn step — the kernel boundary defeats XLA's fusion of the
+# normalize+silu tail into neighboring ops (docs/BENCHMARKS.md r2).
+
+
 class ResnetBlock(nn.Module):
     out_ch: int
     dropout: float

@@ -96,3 +96,110 @@ def groupnorm_silu_reference(x, scale, bias, *, groups=32, eps=1e-6):
     norm = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
     y = norm * scale + bias
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+# ------------------------------------------------- trainable (custom VJP)
+
+
+def _use_pallas_gn(x, groups) -> bool:
+    import os
+
+    if os.environ.get("SALUN_DISABLE_GN_PALLAS"):
+        return False
+    if os.environ.get("SALUN_FORCE_GN_PALLAS"):
+        return True
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    b, h, w, c = x.shape
+    return (on_tpu and c % groups == 0 and c % 8 == 0
+            and h * w * c <= _MAX_ROW_ELEMS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def groupnorm_silu_trainable(x, scale, bias, groups=32, eps=1e-6):
+    """silu(groupnorm(x)·scale + bias) with a hand-derived VJP.
+
+    Forward dispatches to the fused Pallas kernel on TPU (one HBM pass for
+    stats + normalize + SiLU instead of XLA's reduce/reduce/normalize
+    chain — the GN tail is ~25% of the DDPM unlearn step in the r2
+    profile); the backward recomputes stats from the saved input and runs
+    as one fused XLA region. Semantics match ``groupnorm_silu_reference``
+    (fp32 statistics, output cast to x.dtype) exactly.
+    """
+    return _gn_silu_fwd_impl(x, scale, bias, groups, eps)
+
+
+def _gn_silu_fwd_impl(x, scale, bias, groups, eps):
+    if _use_pallas_gn(x, groups):
+        return groupnorm_silu(x, scale, bias, groups=groups, eps=eps)
+    return groupnorm_silu_reference(x, scale, bias, groups=groups, eps=eps)
+
+
+def _gn_silu_fwd(x, scale, bias, groups, eps):
+    return _gn_silu_fwd_impl(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _gn_silu_bwd(groups, eps, res, g):
+    x, scale, bias = res
+    b, h, w, c = x.shape
+    gc = c // groups
+    n = h * w * gc
+
+    xg = x.astype(jnp.float32).reshape(b, h * w, groups, gc)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = (xg * xg).mean(axis=(1, 3), keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = ((xg - mean) * inv).reshape(b, h, w, c)
+
+    z = xhat * scale + bias
+    sig = jax.nn.sigmoid(z)
+    dz = g.astype(jnp.float32) * sig * (1.0 + z * (1.0 - sig))
+
+    dbias = jnp.sum(dz, axis=(0, 1, 2))
+    dscale = jnp.sum(dz * xhat, axis=(0, 1, 2))
+
+    dxhat = (dz * scale).reshape(b, h * w, groups, gc)
+    xhat_g = xhat.reshape(b, h * w, groups, gc)
+    m1 = dxhat.sum(axis=(1, 3), keepdims=True) / n
+    m2 = (dxhat * xhat_g).sum(axis=(1, 3), keepdims=True) / n
+    dx = (inv * (dxhat - m1 - xhat_g * m2)).reshape(b, h, w, c)
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(bias.dtype))
+
+
+groupnorm_silu_trainable.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+# ------------------------------------------------------ flax module
+
+
+def make_groupnorm_silu_module():
+    """A drop-in flax module for the ``nn.GroupNorm`` → ``nn.silu`` pair.
+
+    Param names/shapes ("scale", "bias", fp32) match ``nn.GroupNorm``, so
+    giving it the old GroupNorm's layer name keeps checkpoint pytrees
+    bit-compatible with the unfused model definition.
+    """
+    import flax.linen as nn
+
+    class GroupNormSiLU(nn.Module):
+        dtype: jnp.dtype = jnp.float32
+        groups: int = 32
+        eps: float = 1e-6
+
+        @nn.compact
+        def __call__(self, x):
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,),
+                               jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,),
+                              jnp.float32)
+            return groupnorm_silu_trainable(
+                x, scale, bias, self.groups, self.eps).astype(self.dtype)
+
+    return GroupNormSiLU
+
+
+GroupNormSiLU = make_groupnorm_silu_module()

@@ -51,6 +51,10 @@ def _gn32(x, name, eps=1e-5, dtype=jnp.float32):
                         param_dtype=jnp.float32, name=name)(x)
 
 
+# NB: the fused GroupNormSiLU Pallas module is deliberately NOT wired in
+# (measured ~20% step regression in context; docs/BENCHMARKS.md r2).
+
+
 class CrossAttention(nn.Module):
     """attention.py:149-194; context=None → self-attention."""
 

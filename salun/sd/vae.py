@@ -41,6 +41,10 @@ def _gn(x, name, dtype):
                         param_dtype=jnp.float32, name=name)(x)
 
 
+# NB: the fused GroupNormSiLU Pallas module is deliberately NOT wired in
+# (measured ~20% step regression in context; docs/BENCHMARKS.md r2).
+
+
 class VAEResnetBlock(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.float32

@@ -158,3 +158,66 @@ def test_flash_dispatch_policy(monkeypatch):
 
     monkeypatch.setenv("SALUN_DISABLE_FLASH", "1")
     assert not A._use_flash(*mk(4096))
+
+
+def test_groupnorm_silu_trainable_grads(rng, monkeypatch):
+    """custom-VJP grads match autodiff through the XLA reference, on both
+    the fallback path and the (interpret-mode) Pallas forward path."""
+    from salun.kernels.groupnorm_silu import (
+        groupnorm_silu_reference, groupnorm_silu_trainable,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    def loss_ref(x, s, b):
+        y = groupnorm_silu_reference(x, s, b, groups=32)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_tr(x, s, b):
+        y = groupnorm_silu_trainable(x, s, b, 32, 1e-6)
+        return jnp.sum(y * jnp.cos(y))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, s, b)
+
+    monkeypatch.delenv("SALUN_FORCE_GN_PALLAS", raising=False)
+    got = jax.grad(loss_tr, argnums=(0, 1, 2))(x, s, b)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
+                                   atol=2e-4)
+
+    monkeypatch.setenv("SALUN_FORCE_GN_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got_p = jax.grad(loss_tr, argnums=(0, 1, 2))(x, s, b)
+    for w, g in zip(want, got_p):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_groupnorm_silu_module_param_compat(rng):
+    """GroupNormSiLU module params are pytree-identical to nn.GroupNorm's,
+    and the bf16 output matches GroupNorm+silu within bf16 tolerance."""
+    import flax.linen as nn
+
+    from salun.kernels.groupnorm_silu import GroupNormSiLU
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+
+    fused = GroupNormSiLU(dtype=jnp.float32)
+    ref = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                       param_dtype=jnp.float32)
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(vf) == jax.tree.structure(vr))
+    assert all(a.shape == b.shape and a.dtype == b.dtype
+               for a, b in zip(jax.tree.leaves(vf), jax.tree.leaves(vr)))
+
+    # seed nontrivial affine params
+    params = {"params": {
+        "scale": jnp.asarray(rng.standard_normal(64), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal(64), jnp.float32)}}
+    got = fused.apply(params, x)
+    want = nn.silu(ref.apply(params, x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
