@@ -134,3 +134,60 @@ def test_sd_unet_tp_pspecs(key):
             # sharded dim must divide by 2 (the model-axis size we test)
             dim = 1 if spec == P(None, "model") else 0
             assert flat_p[name].shape[dim] % 2 == 0, name
+
+
+def test_fsdp_matches_replicated(mesh8, key, rng):
+    """FSDP (ZeRO-3) sharded masked train step == replicated step: params,
+    moments, and the state-carried mask split over the data axis must not
+    change the math (GSPMD gathers are exact)."""
+    from salun.dist.fsdp import count_sharded, fsdp_pspecs, shard_fsdp
+
+    model, variables = _setup(key)
+    batch = _batch(rng)
+
+    def build(params_placed, mask_placed, theta0_placed):
+        tx = masked_opt.masked(masked_opt.sgd(0.01, 0.9, 5e-4),
+                               mask_placed, theta0_placed)
+        # the step donates its state — give each run its own copies
+        state = TrainState.create(
+            {"params": jax.tree.map(jnp.copy, params_placed),
+             "batch_stats": jax.tree.map(jnp.copy,
+                                         variables["batch_stats"])}, tx)
+        step = make_train_step(model, tx, use_augment=False,
+                               random_labels=False, num_classes=10)
+        return step, state
+
+    def mk_inputs():
+        mask = jax.tree.map(
+            lambda p: (jax.random.uniform(jax.random.PRNGKey(3), p.shape)
+                       > 0.5).astype(jnp.float32), variables["params"])
+        theta0 = jax.tree.map(jnp.copy, variables["params"])
+        return mask, theta0
+
+    # replicated run
+    mask, theta0 = mk_inputs()
+    step, state = build(variables["params"], mask, theta0)
+    state_r, m_r = step(state, batch, jax.random.PRNGKey(7))
+
+    # FSDP run on the 8-device mesh
+    pspecs = fsdp_pspecs(variables["params"], mesh8, min_size=2 ** 6)
+    assert count_sharded(pspecs) > 0
+    mask, theta0 = mk_inputs()
+    with mesh8:
+        params_f = shard_fsdp(variables["params"], mesh8, pspecs)
+        mask_f = shard_fsdp(mask, mesh8, pspecs)
+        theta0_f = shard_fsdp(theta0, mesh8, pspecs)
+        step_f, state_f0 = build(params_f, mask_f, theta0_f)
+        state_f, m_f = step_f(state_f0, shard_batch(mesh8, batch),
+                              jax.random.PRNGKey(7))
+        jax.block_until_ready(state_f.params)
+
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_r["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_f.params),
+                    jax.tree.leaves(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # big leaves must actually be sharded after the step
+    big = [p for p in jax.tree.leaves(state_f.params) if p.size >= 2 ** 6]
+    assert any(not p.sharding.is_fully_replicated for p in big)
