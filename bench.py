@@ -182,12 +182,79 @@ def bench_ddpm_salun_step():
     }
 
 
+# ------------------------------------------------------------- sampling
+
+
+def bench_ddpm_sampling():
+    """DDIM sampling throughput (the FID-eval cost center: the reference
+    samples 5,000/class with 1,000 DDIM steps and a per-step CPU offload,
+    denoising.py:31,93; ours is one on-device lax.scan).
+
+    Timing: iteration-count slope between a 100-step and a 20-step chain
+    with a scalar fetch — robust against the remote backend's unreliable
+    block_until_ready (see docs/BENCHMARKS.md timing notes).
+    """
+    _log({"phase": "sampling_start"})
+    from salun.diffusion import ConditionalUNet, DiffusionSchedule, UNetConfig
+    from salun.diffusion.sampling import sample_image
+
+    bs = 128
+    cfg = UNetConfig(dtype=jnp.bfloat16)
+    model = ConditionalUNet(cfg)
+    schedule = DiffusionSchedule.create(
+        beta_schedule="linear", beta_start=1e-4, beta_end=2e-2,
+        num_diffusion_timesteps=1000, var_type="fixedlarge")
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32), train=False,
+        cond_drop_prob=0.0)["params"])(key)
+    labels = jnp.zeros((bs,), jnp.int32)
+
+    def make(nsteps):
+        @jax.jit
+        def run(params, key):
+            x = sample_image(
+                model, {"params": params}, schedule, key, batch=bs,
+                image_size=32, channels=3, classes=labels, cond_scale=2.0,
+                timesteps=nsteps)
+            return jnp.sum(x.astype(jnp.float32))
+        return run
+
+    hi, lo = 100, 20
+    r_hi, r_lo = make(hi), make(lo)
+    float(r_hi(params, key)); float(r_lo(params, key))  # compile+warm
+    ths, tls = [], []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(r_hi(params, jax.random.PRNGKey(i)))
+        ths.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(r_lo(params, jax.random.PRNGKey(i)))
+        tls.append(time.perf_counter() - t0)
+    per_step = (min(ths) - min(tls)) / (hi - lo)
+
+    # reference recipe: 1,000 DDIM steps, CFG (2 U-Net fwds per step)
+    samples_s_1000 = bs / (per_step * 1000)
+    peak, kind = _peak()
+    # one CFG step = 2 batched U-Net fwds. The unlearn step's XLA-counted
+    # 10.58 TF = 2×(fwd+bwd) + 1 fwd ≈ 7 fwd-units (bwd ≈ 2× fwd), so one
+    # 128-image fwd ≈ 1.51 TF.
+    fwd_flops = 2 * 10.575e12 / 7.0
+    mfu = fwd_flops / per_step / peak
+    _log({"metric": "ddpm_ddim_sampling", "ms_per_cfg_step": round(
+              per_step * 1e3, 2),
+          "samples_per_sec_at_1000steps": round(samples_s_1000, 2),
+          "mfu_fwd": round(mfu, 4), "device": kind,
+          "batch": bs})
+
+
 # -------------------------------------------------------------- mask gen
 
 
 def bench_maskgen():
     _log({"phase": "maskgen_start"})
-    from salun.core import accumulate_saliency, generate_masks
+    from salun.core import accumulate_saliency_scanned, generate_masks
     from salun.core.mask import DEFAULT_THRESHOLDS
     from salun.core.train import cross_entropy
     from salun.models import create_model
@@ -216,15 +283,20 @@ def bench_maskgen():
             return -cross_entropy(out, batch["label"])
         return jax.grad(loss)(p)
 
-    dev_batches = [jax.tree.map(jnp.asarray, b) for b in batches]
-    # warmup compile
-    sal = accumulate_saliency(grad_fn, params, dev_batches[:1])
+    import numpy as _np
+
+    stacked = {k: jnp.asarray(_np.stack([b[k] for b in batches]))
+               for k in batches[0]}
+    # warmup compile (scanned: the whole forget-epoch is ONE dispatch)
+    sal = accumulate_saliency_scanned(grad_fn, params, stacked)
     _ = generate_masks(sal, DEFAULT_THRESHOLDS)
     jax.block_until_ready(jax.tree.leaves(_[0.5])[0])
 
     t0 = time.perf_counter()
-    sal = accumulate_saliency(grad_fn, params, dev_batches)
-    jax.block_until_ready(jax.tree.leaves(sal)[0])
+    sal = accumulate_saliency_scanned(grad_fn, params, stacked)
+    # scalar fetch forces execution (block_until_ready alone is not
+    # trustworthy on the remote backend)
+    float(jnp.sum(jax.tree.leaves(sal)[0]))
     t_acc = time.perf_counter() - t0
     t0 = time.perf_counter()
     masks = generate_masks(sal, DEFAULT_THRESHOLDS)
@@ -334,6 +406,7 @@ def bench_resnet_rl():
 def main():
     headline = bench_ddpm_salun_step()
     try:
+        bench_ddpm_sampling()
         bench_maskgen()
         bench_resnet_rl()
     except Exception as e:  # secondary metrics must never kill the headline

@@ -1,6 +1,7 @@
 from .mask import (
     DEFAULT_THRESHOLDS,
     accumulate_saliency,
+    accumulate_saliency_scanned,
     generate_masks,
     threshold_mask,
 )

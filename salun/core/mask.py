@@ -60,7 +60,50 @@ def accumulate_saliency(
     return acc
 
 
+def accumulate_saliency_scanned(
+    grad_fn: Callable,
+    params,
+    stacked_batches,
+    *,
+    abs_value: bool = True,
+):
+    """One-dispatch saliency accumulation over pre-stacked batches.
+
+    Same math as ``accumulate_saliency`` (sequential sum, |.| after), but
+    the whole loop is a ``lax.scan`` inside ONE jitted program —
+    ``stacked_batches`` is a batch pytree with an extra leading axis
+    [n_batches, B, ...]. Use when the forget set fits device memory (the
+    reference recipes: 4,500 CIFAR images ≈ 14 MB): per-batch dispatch
+    latency disappears, which on a remote-execution backend dominates the
+    streamed variant's wall-clock.
+    """
+    run = _ACC_SCANS.get(grad_fn)
+    if run is None:
+
+        @jax.jit
+        def run(params, stacked):
+            def body(acc, batch):
+                g = grad_fn(params, batch)
+                return jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), acc, g), ()
+
+            acc0 = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            acc, _ = jax.lax.scan(body, acc0, stacked)
+            return acc
+
+        try:
+            _ACC_SCANS[grad_fn] = run
+        except TypeError:
+            pass
+    acc = run(params, stacked_batches)
+    if abs_value:
+        acc = _tree_abs(acc)
+    return acc
+
+
 _ACC_STEPS = weakref.WeakKeyDictionary()
+_ACC_SCANS = weakref.WeakKeyDictionary()
 
 
 def _acc_step_for(grad_fn):

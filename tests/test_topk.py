@@ -80,3 +80,28 @@ def test_topk_sharded_matches_single(rng, mesh8):
     got = jax.jit(lambda t: global_topk_masks(t, k))([sharded_big, repl_small])
     for w, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_scanned_accumulation_matches_streamed(key, rng):
+    """accumulate_saliency_scanned == accumulate_saliency (same order,
+    same |.|-after-sum semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from salun.core.mask import accumulate_saliency, accumulate_saliency_scanned
+
+    params = {"w": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+              "b": jnp.asarray(rng.standard_normal(8), jnp.float32)}
+
+    def grad_fn(p, batch):
+        def loss(p):
+            return jnp.sum((batch["x"] @ p["w"] + p["b"]) ** 2)
+        return jax.grad(loss)(p)
+
+    batches = [{"x": jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)}
+               for _ in range(5)]
+    streamed = accumulate_saliency(grad_fn, params, batches)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    scanned = accumulate_saliency_scanned(grad_fn, params, stacked)
+    for a, b in zip(jax.tree.leaves(streamed), jax.tree.leaves(scanned)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
