@@ -76,6 +76,52 @@ def _img01(x):
     return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
 
+def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
+                           *, grad_clip: float, thresholds=(0.5,)):
+    """The reference's DDPM mask-gen loop (diffusion.py:959-1039), generic
+    over the eps model: per batch — antithetic t, q_sample, CFG eps,
+    ``loss = (e − eps)².sum(pixels).mean(batch)``, grads clipped by global
+    norm BEFORE accumulation (diffusion.py:986-991) — then |.| and exact
+    global top-k thresholding.
+
+    Batches may carry explicit ``t``/``e`` entries to replay a fixed noise
+    stream (deterministic parity tests, tests/test_reference_parity.py).
+    """
+    T = schedule.num_timesteps
+
+    def loss_fn(params, x01, c, t, e):
+        x0 = data_transform(x01)
+        xt = q_sample(x0, t, e, schedule)
+        out = eps_fn(params, xt, t, c)
+        return jnp.square(e - out).sum(
+            axis=tuple(range(1, x0.ndim))).mean()
+
+    clip = optax.clip_by_global_norm(grad_clip)
+
+    @jax.jit
+    def acc_batch(acc, batch, key):
+        kt, ke = jax.random.split(key)
+        x = _img01(batch["image"])
+        n = x.shape[0]
+        t = batch.get("t")
+        if t is None:
+            t = antithetic_timesteps(kt, n, T)
+        e = batch.get("e")
+        if e is None:
+            e = jax.random.normal(ke, x.shape)
+        g = jax.grad(loss_fn)(params, x, batch["label"], t, e)
+        # reference clips grads before accumulating (diffusion.py:986-991)
+        g, _ = clip.update(g, clip.init(params))
+        return jax.tree.map(lambda a, b: a + b.astype(jnp.float32), acc, g)
+
+    acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    for batch in forget_loader:
+        key, sub = jax.random.split(key)
+        acc = acc_batch(acc, jax.tree.map(jnp.asarray, batch), sub)
+    abs_sal = jax.tree.map(jnp.abs, acc)
+    return generate_masks(abs_sal, thresholds)
+
+
 class DDPMRunner:
     def __init__(self, unet_cfg: UNetConfig, schedule: DiffusionSchedule,
                  train_cfg: DDPMTrainConfig):
@@ -269,37 +315,15 @@ class DDPMRunner:
                       thresholds=(0.5,)):
         """Saliency from the CFG-scaled eps loss on the forget class
         (diffusion.py:959-1001), thresholded by exact global top-k."""
-        T = self.schedule.num_timesteps
         cond_scale = self.cfg.cond_scale
 
-        def loss_fn(params, x01, c, t, e):
-            x0 = data_transform(x01)
-            xt = q_sample(x0, t, e, self.schedule)
-            out = cfg_eps(self.model, {"params": params}, xt,
-                          t.astype(jnp.float32), c, cond_scale)
-            return jnp.square(e - out).sum(axis=(1, 2, 3)).mean()
+        def eps_fn(params, xt, t, c):
+            return cfg_eps(self.model, {"params": params}, xt,
+                           t.astype(jnp.float32), c, cond_scale)
 
-        clip = optax.clip_by_global_norm(self.cfg.grad_clip)
-        clip_state = None
-
-        @jax.jit
-        def acc_batch(acc, batch, key):
-            kt, ke = jax.random.split(key)
-            x = _img01(batch["image"])
-            n = x.shape[0]
-            t = antithetic_timesteps(kt, n, T)
-            e = jax.random.normal(ke, x.shape)
-            g = jax.grad(loss_fn)(params, x, batch["label"], t, e)
-            # reference clips grads before accumulating (diffusion.py:986-991)
-            g, _ = clip.update(g, clip.init(params))
-            return jax.tree.map(lambda a, b: a + b.astype(jnp.float32), acc, g)
-
-        acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        for batch in forget_loader:
-            key, sub = jax.random.split(key)
-            acc = acc_batch(acc, jax.tree.map(jnp.asarray, batch), sub)
-        abs_sal = jax.tree.map(jnp.abs, acc)
-        return generate_masks(abs_sal, thresholds)
+        return saliency_from_eps_loss(
+            eps_fn, params, forget_loader, key, self.schedule,
+            grad_clip=self.cfg.grad_clip, thresholds=thresholds)
 
     # ------------------------------------------------ FIM
 

@@ -412,3 +412,101 @@ def test_ddpm_clip_mask_adam_matches_torch(rng):
         np.testing.assert_array_equal(
             np.asarray(params[k])[mask_np[k] == 0],
             theta[k][mask_np[k] == 0])
+
+
+def test_ddpm_maskgen_matches_reference_loop(rng):
+    """The DDPM mask-generation algorithm vs the reference's verbatim loop
+    (/root/reference/DDPM/runners/diffusion.py:959-1039) run in torch on an
+    identical toy CFG eps-model and a fixed (t, e, batch) stream:
+    antithetic t → q_sample → CFG eps → sum-pixel/mean-batch MSE →
+    per-batch clip_grad_norm_ BEFORE accumulation → |.| → top-50% by
+    double argsort. Saliency must match to fp32 tolerance and the mask
+    bit-exactly."""
+    from salun.diffusion import DiffusionSchedule
+    from salun.diffusion.runner import saliency_from_eps_loss
+
+    T, n, ch, hw, n_classes = 20, 6, 2, 4, 3
+    schedule = DiffusionSchedule.create(
+        beta_schedule="linear", beta_start=1e-4, beta_end=2e-2,
+        num_diffusion_timesteps=T, var_type="fixedlarge")
+    betas_t = torch.from_numpy(np.asarray(schedule.betas, np.float64)
+                               .astype(np.float32))
+
+    w0 = rng.standard_normal(ch).astype(np.float32)
+    emb0 = rng.standard_normal((n_classes + 1, ch)).astype(np.float32)
+    cond_scale = 2.0
+
+    # toy eps model, identical both sides:
+    #   eps(x, t, c) = w⊙x + emb[c] + 0.01·t ;  CFG: (1+s)·eps_c − s·eps_∅
+    def eps_jax(params, xt, t, c):
+        e_c = (xt * params["w"] + params["emb"][c][:, None, None, :]
+               + 0.01 * t.astype(jnp.float32)[:, None, None, None])
+        null = jnp.full_like(c, n_classes)
+        e_0 = (xt * params["w"] + params["emb"][null][:, None, None, :]
+               + 0.01 * t.astype(jnp.float32)[:, None, None, None])
+        return (1 + cond_scale) * e_c - cond_scale * e_0
+
+    batches = []
+    for _ in range(3):
+        x01 = rng.random((n, hw, hw, ch)).astype(np.float32)
+        c = rng.integers(0, n_classes, (n,)).astype(np.int32)
+        half = rng.integers(0, T, ((n + 1) // 2,))
+        t = np.concatenate([half, T - half - 1])[:n].astype(np.int32)
+        e = rng.standard_normal((n, hw, hw, ch)).astype(np.float32)
+        batches.append({"image": x01, "label": c, "t": t, "e": e})
+
+    params = {"w": jnp.asarray(w0), "emb": jnp.asarray(emb0)}
+    masks = saliency_from_eps_loss(
+        eps_jax, params, batches, jax.random.PRNGKey(0), schedule,
+        grad_clip=1.0, thresholds=(0.5,))
+
+    # ---- reference loop, verbatim semantics in torch (NCHW)
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    temb = torch.nn.Parameter(torch.tensor(emb0))
+    gradients = {"w": 0, "emb": 0}
+    for b in batches:
+        x = torch.tensor(b["image"]).permute(0, 3, 1, 2)  # NCHW
+        c = torch.tensor(b["label"]).long()
+        t = torch.tensor(b["t"]).long()
+        e = torch.tensor(b["e"]).permute(0, 3, 1, 2)
+        x = 2 * x - 1                                     # data_transform
+        a = (1 - betas_t).cumprod(dim=0).index_select(0, t).view(-1, 1, 1, 1)
+        x = x * a.sqrt() + e * (1.0 - a).sqrt()
+
+        def eps_t(cc):
+            return (x * tw.view(1, ch, 1, 1)
+                    + temb[cc].view(-1, ch, 1, 1)
+                    + 0.01 * t.float().view(-1, 1, 1, 1))
+
+        output = (1 + cond_scale) * eps_t(c) - cond_scale * eps_t(
+            torch.full_like(c, n_classes))
+        loss = (e - output).square().sum(dim=(1, 2, 3)).mean(dim=0)
+        for p in (tw, temb):
+            if p.grad is not None:
+                p.grad = None
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([tw, temb], 1.0)
+        gradients["w"] = gradients["w"] + tw.grad.data.clone()
+        gradients["emb"] = gradients["emb"] + temb.grad.data.clone()
+
+    for k in gradients:
+        gradients[k] = torch.abs_(gradients[k])
+    all_elements = -torch.cat([v.flatten() for v in gradients.values()])
+    threshold_index = int(len(all_elements) * 0.5)
+    positions = torch.argsort(all_elements)
+    ranks = torch.argsort(positions)
+    hard = {}
+    start = 0
+    for k, v in gradients.items():
+        nel = v.numel()
+        tr = ranks[start:start + nel]
+        th = torch.zeros_like(tr)
+        th[tr < threshold_index] = 1
+        hard[k] = th.reshape(v.shape)
+        start += nel
+
+    got = masks[0.5]
+    np.testing.assert_array_equal(np.asarray(got["w"]),
+                                  hard["w"].numpy())
+    np.testing.assert_array_equal(np.asarray(got["emb"]),
+                                  hard["emb"].numpy())
