@@ -32,7 +32,9 @@ import optax
 # SD) — which makes every (re)compile minutes-slow and bloats the compile
 # cache; as a state leaf it is just another device-array argument.
 # Corollary: tx.init must run EAGERLY (jitting init would re-embed the
-# mask into the init graph's output literals).
+# mask into the init graph's output literals). init COPIES the pytrees:
+# the train steps donate their optimizer state, and two states sharing
+# one mask buffer would delete each other's arrays on the first step.
 
 
 class MaskGradsState(NamedTuple):
@@ -44,7 +46,7 @@ def mask_grads(mask) -> optax.GradientTransformation:
 
     def init(params):
         del params
-        return MaskGradsState(mask=mask)
+        return MaskGradsState(mask=jax.tree.map(jnp.copy, mask))
 
     def update(updates, state, params=None):
         del params
@@ -78,7 +80,9 @@ def masked(
     """
 
     def init(params):
-        return MaskedState(inner=base.init(params), mask=mask, theta0=theta0)
+        return MaskedState(inner=base.init(params),
+                           mask=jax.tree.map(jnp.copy, mask),
+                           theta0=jax.tree.map(jnp.copy, theta0))
 
     def update(updates, state, params):
         mask_, theta0_ = state.mask, state.theta0
@@ -128,8 +132,8 @@ def masked_sgd_fused(
         return FusedMaskedSGDState(
             trace=jax.tree.map(jnp.zeros_like, params),
             count=jnp.zeros((), jnp.int32),
-            mask=mask,
-            theta0=theta0,
+            mask=jax.tree.map(jnp.copy, mask),
+            theta0=jax.tree.map(jnp.copy, theta0),
         )
 
     def update(grads, state, params):

@@ -48,11 +48,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_s, m_s, l_s, *,
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
 
-    q = q_ref[0].astype(jnp.float32) * scale            # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)                    # [BK, D]
-    v = v_ref[0].astype(jnp.float32)                    # [BK, D]
+    # native-dtype MXU operands (bf16 inputs run the matrix units at bf16
+    # throughput) with fp32 accumulation; the scale folds in afterwards in
+    # fp32 — linear, so numerics match XLA's bf16-einsum + fp32 softmax.
+    q = q_ref[0]                                        # [BQ, D]
+    k = k_ref[0]                                        # [BK, D]
+    v = v_ref[0]                                        # [BK, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [BQ, BK]
+                            preferred_element_type=jnp.float32) * scale
 
     # scratch m/l are (BQ, 128) lane-replicated; recover (BQ, 1) by max.
     m_prev = jnp.max(m_s[:], axis=-1, keepdims=True)
@@ -62,7 +65,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_s, m_s, l_s, *,
     alpha = jnp.exp(m_prev - m_new)                     # [BQ, 1]
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
     l_s[:] = jnp.broadcast_to(l_new, l_s.shape)
@@ -159,18 +162,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, delta_ref,
     def _():
         dq_s[:] = jnp.zeros_like(dq_s)
 
-    q = q_ref[0].astype(jnp.float32) * scale        # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)                # [BK, D]
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)              # [BQ, D]
+    q = q_ref[0]                                    # [BQ, D]
+    k = k_ref[0]                                    # [BK, D]
+    v = v_ref[0]
+    do = do_ref[0]                                  # [BQ, D]
     l, m, delta = l_ref[0], m_ref[0], delta_ref[0]  # [BQ, 1]
 
+    # native-dtype MXU dots, fp32 accumulation (see forward kernel)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32) * scale
     p = jnp.exp(s - m) / l                          # [BQ, BK]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dq_s[:] = dq_s[:] + jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -192,29 +196,30 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, delta_ref,
         dk_s[:] = jnp.zeros_like(dk_s)
         dv_s[:] = jnp.zeros_like(dv_s)
 
-    q = q_ref[0].astype(jnp.float32) * scale        # [BQ, D] (pre-scaled)
-    k = k_ref[0].astype(jnp.float32)                # [BK, D]
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                    # [BQ, D]
+    k = k_ref[0]                                    # [BK, D]
+    v = v_ref[0]
+    do = do_ref[0]
     l, m, delta = l_ref[0], m_ref[0], delta_ref[0]  # [BQ, 1]
 
+    # native-dtype MXU dots, fp32 accumulation (see forward kernel)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32) * scale
     p = jnp.exp(s - m) / l                          # [BQ, BK]
     dv_s[:] = dv_s[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
-    # dk = scale · dsᵀ q_orig = dsᵀ (q·scale) — q is already pre-scaled
+    ds = (p * (dp - delta)).astype(q.dtype)
     dk_s[:] = dk_s[:] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(iq == num_qb - 1)
     def _finish():
-        dk_ref[0] = dk_s[:].astype(dk_ref.dtype)
+        # dk = scale · dsᵀ q (the scale folds in once here)
+        dk_ref[0] = (dk_s[:] * scale).astype(dk_ref.dtype)
         dv_ref[0] = dv_s[:].astype(dv_ref.dtype)
 
 

@@ -48,17 +48,19 @@ def scan_fwd_time(attn, q, k, v, iters=30):
     trustworthy per-op timing on this backend."""
 
     # k, v as jit parameters (closure capture would embed them as HLO
-    # literals and ship megabytes through the remote-compile tunnel)
+    # literals and ship megabytes through the remote-compile tunnel).
+    # Returns a SCALAR that the caller float()s: block_until_ready on an
+    # array output can silently no-op on the axon backend.
     @jax.jit
     def run(q, k, v):
         def body(q, _):
             return attn(q, k, v).astype(q.dtype), ()
         q, _ = jax.lax.scan(body, q, None, length=iters)
-        return q
+        return jnp.sum(q.astype(jnp.float32))
 
-    jax.block_until_ready(run(q, k, v))
+    float(run(q, k, v))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(q, k, v))
+    float(run(q, k, v))
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
@@ -77,11 +79,11 @@ def scan_bwd_time(attn, q, k, v, iters=30):
             dq, dk, dv = g(q, k, v)
             return (dq + dk + dv).astype(q.dtype), ()
         q, _ = jax.lax.scan(body, q, None, length=iters)
-        return q
+        return jnp.sum(q.astype(jnp.float32))
 
-    jax.block_until_ready(run(q, k, v))
+    float(run(q, k, v))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(q, k, v))
+    float(run(q, k, v))
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 

@@ -51,17 +51,19 @@ def bench(fn, *args, iters=30, feed=None):
     # NB: the operands MUST be jit parameters, not closed-over values —
     # closure capture embeds them as HLO literals, and a 176 MB literal
     # (the 11M-param masked-SGD operands) makes the remote compile hang.
+    # returns a SCALAR the caller float()s — block_until_ready on array
+    # outputs can silently no-op on the axon backend (memory: axon-timing)
     @jax.jit
     def run(x, *rest):
         def body(x, _):
             out = fn(x, *rest)
             return feed(out).astype(x0.dtype), ()
         x, _ = jax.lax.scan(body, x, None, length=iters)
-        return x
+        return jnp.sum(x.astype(jnp.float32))
 
-    jax.block_until_ready(run(*args))
+    float(run(*args))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*args))
+    float(run(*args))
     return (time.perf_counter() - t0) / iters
 
 
