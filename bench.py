@@ -37,11 +37,9 @@ import numpy as np
 
 # Persistent compile cache: repeat bench runs (and anything else in this
 # container) skip the multi-minute remote XLA compiles.
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/salun_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+from salun.utils.tpu_bench import enable_compile_cache
+
+enable_compile_cache()
 
 A100_TF32_PEAK = 156e12
 A100_ASSUMED_MFU = 0.30
@@ -179,13 +177,14 @@ def bench_ddpm_salun_step():
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(vs, 3) if vs else 0.0,
+        "_flops": flops,  # internal: consumed by bench_ddpm_sampling
     }
 
 
 # ------------------------------------------------------------- sampling
 
 
-def bench_ddpm_sampling():
+def bench_ddpm_sampling(step_flops=None):
     """DDIM sampling throughput (the FID-eval cost center: the reference
     samples 5,000/class with 1,000 DDIM steps and a per-step CPU offload,
     denoising.py:31,93; ours is one on-device lax.scan).
@@ -222,30 +221,37 @@ def bench_ddpm_sampling():
         return run
 
     hi, lo = 100, 20
-    r_hi, r_lo = make(hi), make(lo)
-    float(r_hi(params, key)); float(r_lo(params, key))  # compile+warm
+    c_hi, f_hi = _aot(make(hi), params, key)
+    c_lo, f_lo = _aot(make(lo), params, key)
+    float(c_hi(params, key)); float(c_lo(params, key))  # warm
     ths, tls = [], []
     for i in range(3):
         t0 = time.perf_counter()
-        float(r_hi(params, jax.random.PRNGKey(i)))
+        float(c_hi(params, jax.random.PRNGKey(i)))
         ths.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(r_lo(params, jax.random.PRNGKey(i)))
+        float(c_lo(params, jax.random.PRNGKey(i)))
         tls.append(time.perf_counter() - t0)
     per_step = (min(ths) - min(tls)) / (hi - lo)
 
     # reference recipe: 1,000 DDIM steps, CFG (2 U-Net fwds per step)
     samples_s_1000 = bs / (per_step * 1000)
     peak, kind = _peak()
-    # one CFG step = 2 batched U-Net fwds. The unlearn step's XLA-counted
-    # 10.58 TF = 2×(fwd+bwd) + 1 fwd ≈ 7 fwd-units (bwd ≈ 2× fwd), so one
-    # 128-image fwd ≈ 1.51 TF.
-    fwd_flops = 2 * 10.575e12 / 7.0
-    mfu = fwd_flops / per_step / peak
+    # per-CFG-step flops from XLA's own cost model by the hi/lo scan
+    # difference; if the cost model doesn't scale with trip count, fall
+    # back to the measured unlearn-step flops (= 2x(fwd+bwd) + 1 fwd
+    # ~ 7 fwd-units at the same batch/config, so one CFG step = 2 units)
+    if f_hi and f_lo and f_hi > f_lo:
+        fwd_flops = (f_hi - f_lo) / (hi - lo)
+    elif step_flops:
+        fwd_flops = 2 * step_flops / 7.0
+    else:
+        fwd_flops = None
+    mfu = fwd_flops / per_step / peak if fwd_flops else None
     _log({"metric": "ddpm_ddim_sampling", "ms_per_cfg_step": round(
               per_step * 1e3, 2),
           "samples_per_sec_at_1000steps": round(samples_s_1000, 2),
-          "mfu_fwd": round(mfu, 4), "device": kind,
+          "mfu_fwd": round(mfu, 4) if mfu else None, "device": kind,
           "batch": bs})
 
 
@@ -406,11 +412,12 @@ def bench_resnet_rl():
 def main():
     headline = bench_ddpm_salun_step()
     try:
-        bench_ddpm_sampling()
+        bench_ddpm_sampling(step_flops=headline.get("_flops"))
         bench_maskgen()
         bench_resnet_rl()
     except Exception as e:  # secondary metrics must never kill the headline
         _log({"secondary_bench_error": repr(e)})
+    headline.pop("_flops", None)
     print(json.dumps(headline))
 
 

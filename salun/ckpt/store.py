@@ -45,7 +45,11 @@ def save(path: str, payload: dict) -> None:
         import orbax.checkpoint as ocp
     except ImportError:
         flat = traverse_util.flatten_dict(state, sep="/")
-        np.savez(path, **{k: v for k, v in flat.items()})
+        # write through a file object: np.savez(str) only appends ".npz"
+        # when absent, which would diverge from _npz_path on a path that
+        # already ends in ".npz"
+        with open(_npz_path(path), "wb") as f:
+            np.savez(f, **{k: v for k, v in flat.items()})
         return
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.abspath(path), state, force=True)

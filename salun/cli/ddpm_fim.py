@@ -2,7 +2,7 @@
 runners/diffusion.py:101-191): per-sample Fisher information over the
 conditional eps loss, saved for the SA (train_forget) baseline.
 
-Usage: python -m salun.cli.ddpm_fim --config configs/ddpm/cifar10.yml \
+Usage: python -m salun.cli.ddpm_fim --config configs/ddpm/cifar10_train.yml \
            --ckpt_folder ... --n_timestep_samples 1000
 """
 

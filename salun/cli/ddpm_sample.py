@@ -3,7 +3,7 @@ diffusion.py:642-931): sample / sample_fid / sample_classes /
 sample_one_class / sample_visualization.
 
 Usage:
-  python -m salun.cli.ddpm_sample --config configs/ddpm/cifar10.yml \
+  python -m salun.cli.ddpm_sample --config configs/ddpm/cifar10_train.yml \
       --mode sample_fid --ckpt_folder results/ddpm --n_samples 5000
 """
 

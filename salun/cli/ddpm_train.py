@@ -7,7 +7,7 @@ Mode parity with DDPM/train.py:132-159: ``train``, ``retrain``, ``forget``
 except (train.py:147-158); here it raises loudly.
 
 Usage:
-  python -m salun.cli.ddpm_train --config configs/ddpm/cifar10.yml \
+  python -m salun.cli.ddpm_train --config configs/ddpm/cifar10_train.yml \
       --mode saliency_unlearn --method rl --label_to_forget 0 \
       --mask_path ... --ckpt_folder ...
 """
@@ -180,7 +180,6 @@ def main(argv=None):
                              f"({time.time() - t0:.1f}s)")
             if (step + 1) % cfgt.snapshot_freq == 0:
                 _save(args, carry, step + 1)
-        _save(args, carry, cfgt.n_iters)
     elif args.mode == "forget":
         # SA baseline: needs the FIM dict + generated class samples
         fim_path = os.path.join(args.ckpt_folder or args.save_dir, "fisher")
@@ -204,9 +203,11 @@ def main(argv=None):
                 logging.info(f"step {step} loss {float(loss):.4f}")
             if (step + 1) % cfgt.snapshot_freq == 0:
                 _save(args, carry, step + 1)
-        _save(args, carry, cfgt.n_iters)
 
-    _save(args, carry, cfgt.n_iters)
+    # one final full-state save for every mode, unless the loop's last
+    # snapshot already wrote the identical state
+    if cfgt.n_iters % cfgt.snapshot_freq != 0:
+        _save(args, carry, cfgt.n_iters)
 
 
 def _save(args, carry, step=0):

@@ -33,28 +33,48 @@ _SENTINEL = object()
 def prefetch(it: Iterable, depth: int = 4) -> Iterator:
     """Run ``it`` in a background thread with a bounded queue.
 
-    Exceptions in the producer are re-raised at the consumer."""
+    Exceptions in the producer are re-raised at the consumer. When the
+    consumer abandons the iterator early (break / exception / GC), the
+    producer is signalled to stop — a plain ``q.put`` would otherwise
+    block forever on the full queue, leaking the thread and up to
+    ``depth`` decoded batches."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()
 
     def produce():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class parallel_decode:

@@ -88,11 +88,12 @@ def _flash_call(q, k, v, scale, block_q, block_k, emit_lm):
     assert nq % bq == 0 and nk % bk == 0, (nq, nk, bq, bk)
     num_kb = nk // bk
 
-    kernel = functools.partial(_flash_kernel, scale=scale, num_kb=num_kb,
-                               emit_lm=emit_lm)
     if emit_lm:
         kernel = functools.partial(
             _kernel_with_lm, scale=scale, num_kb=num_kb)
+    else:
+        kernel = functools.partial(_flash_kernel, scale=scale,
+                                   num_kb=num_kb, emit_lm=False)
     out_shape = [jax.ShapeDtypeStruct((b, nq, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, bq, d), lambda ib, iq, ik: (ib, iq, 0),
                               memory_space=pltpu.VMEM)]

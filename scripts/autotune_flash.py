@@ -20,11 +20,9 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/salun_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+from salun.utils.tpu_bench import enable_compile_cache, scan_time
+
+enable_compile_cache()
 
 # (B=batch×heads, N, D): SD v1 self-attn at 64×64 is 8 heads × d40 per
 # sample (320ch); d64/d128 cover the generic folded-head regimes.
@@ -36,55 +34,6 @@ SHAPES = [
 ]
 BLOCK_Q = (128, 256, 512)
 BLOCK_K = (256, 512, 1024)
-
-
-def scan_fwd_time(attn, q, k, v, iters=30):
-    """Per-iteration time of `attn` measured INSIDE one jitted lax.scan.
-
-    The axon remote-execution tunnel pipelines/defers python-loop
-    dispatches so aggressively that even data-dependent chains of small
-    kernels appear to cost ~0 (measured: 0.036 ms "per call" for a 17 GF
-    attention). In-graph repetition with a single device fetch is the only
-    trustworthy per-op timing on this backend."""
-
-    # k, v as jit parameters (closure capture would embed them as HLO
-    # literals and ship megabytes through the remote-compile tunnel).
-    # Returns a SCALAR that the caller float()s: block_until_ready on an
-    # array output can silently no-op on the axon backend.
-    @jax.jit
-    def run(q, k, v):
-        def body(q, _):
-            return attn(q, k, v).astype(q.dtype), ()
-        q, _ = jax.lax.scan(body, q, None, length=iters)
-        return jnp.sum(q.astype(jnp.float32))
-
-    float(run(q, k, v))
-    t0 = time.perf_counter()
-    float(run(q, k, v))
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
-
-
-def scan_bwd_time(attn, q, k, v, iters=30):
-    """fwd+bwd per-iteration time (grads wrt q, k, v all kept live so no
-    backward kernel is dead-code-eliminated)."""
-
-    def loss(q, k, v):
-        return jnp.sum(attn(q, k, v).astype(jnp.float32))
-
-    g = jax.grad(loss, argnums=(0, 1, 2))
-
-    @jax.jit
-    def run(q, k, v):
-        def body(q, _):
-            dq, dk, dv = g(q, k, v)
-            return (dq + dk + dv).astype(q.dtype), ()
-        q, _ = jax.lax.scan(body, q, None, length=iters)
-        return jnp.sum(q.astype(jnp.float32))
-
-    float(run(q, k, v))
-    t0 = time.perf_counter()
-    float(run(q, k, v))
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 def main():
@@ -104,9 +53,18 @@ def main():
         v = jax.random.normal(kv, (b, n, d), jnp.bfloat16)
         scale = d ** -0.5
 
+        def bwd_of(fn):
+            g = jax.grad(lambda q, k, v: jnp.sum(
+                fn(q, k, v).astype(jnp.float32)), argnums=(0, 1, 2))
+
+            def run(q, k, v):
+                dq, dk, dv = g(q, k, v)
+                return dq + dk + dv
+            return run
+
         xla = lambda q, k, v: _xla_attention(q, k, v, scale)  # noqa: E731
-        xla_fwd = scan_fwd_time(xla, q, k, v, iters=args.iters)
-        xla_bwd = scan_bwd_time(xla, q, k, v, iters=args.iters)
+        xla_fwd = scan_time(xla, q, k, v, iters=args.iters) * 1e3
+        xla_bwd = scan_time(bwd_of(xla), q, k, v, iters=args.iters) * 1e3
 
         best = None
         for bq, bk in itertools.product(BLOCK_Q, BLOCK_K):
@@ -117,8 +75,8 @@ def main():
                 return flash_attention_trainable(q, k, v, scale, bq, bk)
 
             try:
-                fwd = scan_fwd_time(fa, q, k, v, iters=args.iters)
-                bwd = scan_bwd_time(fa, q, k, v, iters=args.iters)
+                fwd = scan_time(fa, q, k, v, iters=args.iters) * 1e3
+                bwd = scan_time(bwd_of(fa), q, k, v, iters=args.iters) * 1e3
             except Exception as e:
                 print(json.dumps({"shape": [b, n, d], "bq": bq, "bk": bk,
                                   "error": repr(e)[:120]}), flush=True)
@@ -130,6 +88,10 @@ def main():
             print(json.dumps(rec), flush=True)
             if best is None or bwd < best["fwdbwd_ms"]:
                 best = rec
+        if best is None:  # every tile failed to compile for this shape
+            results[f"{b}x{n}x{d}"] = {"error": "all configs failed"}
+            print(json.dumps({"BEST": None, "shape": [b, n, d]}), flush=True)
+            continue
         best["xla_fwd_ms"] = round(xla_fwd, 2)
         best["xla_fwdbwd_ms"] = round(xla_bwd, 2)
         results[f"{b}x{n}x{d}"] = best

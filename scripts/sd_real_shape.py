@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from salun.utils.tpu_bench import enable_compile_cache
+
+enable_compile_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -97,7 +101,9 @@ def main():
             return carry + (0.0 * loss).astype(carry.dtype), (loss, gnorm)
         keys = jax.random.split(key, args.iters)
         images_f, (losses, gnorms) = jax.lax.scan(body, images, keys)
-        return images_f, losses, gnorms
+        # scalar return: block_until_ready on arrays can silently no-op on
+        # the axon backend — only a fetched scalar forces execution
+        return jnp.sum(images_f.astype(jnp.float32)) + jnp.sum(losses)
 
     def _step_inner(params, images, context, key):
         ke, kt, kn = jax.random.split(key, 3)
@@ -114,11 +120,9 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params["unet"])
         return loss, optax_global_norm(grads)
 
-    out = run(params, images, context, jax.random.PRNGKey(2))
-    jax.block_until_ready(out[0])  # warm (compile)
+    float(run(params, images, context, jax.random.PRNGKey(2)))  # warm
     t0 = time.perf_counter()
-    out = run(params, images, context, jax.random.PRNGKey(3))
-    jax.block_until_ready(out[0])
+    float(run(params, images, context, jax.random.PRNGKey(3)))
     dt = (time.perf_counter() - t0) / args.iters
     print(f"steady-state step: {dt*1e3:.1f} ms (batch {b}) "
           f"→ {b/dt:.2f} img/s  (in-graph scan, {args.iters} iters)",

@@ -18,11 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/salun_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+from salun.utils.tpu_bench import enable_compile_cache, scan_time
+
+enable_compile_cache()
 
 from salun.kernels.attention import _xla_attention
 from salun.kernels.flash_attention import (
@@ -32,39 +30,6 @@ from salun.kernels.groupnorm_silu import groupnorm_silu, groupnorm_silu_referenc
 from salun.kernels.masked_update import (
     BLOCK, masked_sgd_update, masked_sgd_update_reference,
 )
-
-
-def bench(fn, *args, iters=30, feed=None):
-    """Per-call device time via in-graph repetition (lax.scan).
-
-    Python-loop timing with a trailing block_until_ready is NOT
-    trustworthy on the axon remote backend: it pipelines/defers
-    dispatches so aggressively that chains of small kernels measure ~0 ms
-    (r2 finding; see scripts/autotune_flash.py). Scanning the op inside
-    one jit with the output fed back as the next input forces serial
-    execution and measures true per-iteration device time. ``feed`` maps
-    the op output back to an args[0]-shaped array (defaults to identity).
-    """
-    feed = feed or (lambda out: out)
-    x0 = args[0]
-
-    # NB: the operands MUST be jit parameters, not closed-over values —
-    # closure capture embeds them as HLO literals, and a 176 MB literal
-    # (the 11M-param masked-SGD operands) makes the remote compile hang.
-    # returns a SCALAR the caller float()s — block_until_ready on array
-    # outputs can silently no-op on the axon backend (memory: axon-timing)
-    @jax.jit
-    def run(x, *rest):
-        def body(x, _):
-            out = fn(x, *rest)
-            return feed(out).astype(x0.dtype), ()
-        x, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(x.astype(jnp.float32))
-
-    float(run(*args))
-    t0 = time.perf_counter()
-    float(run(*args))
-    return (time.perf_counter() - t0) / iters
 
 
 def maxdiff(a, b):
@@ -85,7 +50,7 @@ def main():
         f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=sc))
         x = jax.jit(lambda q, k, v: _xla_attention(q, k, v, sc))
         dd = maxdiff(f(q, k, v), x(q, k, v))
-        tf_, tx = bench(f, q, k, v), bench(x, q, k, v)
+        tf_, tx = scan_time(f, q, k, v), scan_time(x, q, k, v)
         print(f"flash fwd ({b},{n},{d}): {tf_*1e3:.2f}ms vs xla "
               f"{tx*1e3:.2f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
@@ -97,8 +62,8 @@ def main():
             argnums=(0, 1, 2)))
         dd = maxdiff(gf(q, k, v), gx(q, k, v))
         g3 = lambda o: o[0] + o[1] + o[2]  # noqa: E731 — keep dq,dk,dv live
-        tf_, tx = (bench(gf, q, k, v, feed=g3),
-                   bench(gx, q, k, v, feed=g3))
+        tf_, tx = (scan_time(gf, q, k, v, feed=g3),
+                   scan_time(gx, q, k, v, feed=g3))
         print(f"flash bwd ({b},{n},{d}): {tf_*1e3:.2f}ms vs xla "
               f"{tx*1e3:.2f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
@@ -110,7 +75,7 @@ def main():
         f = jax.jit(lambda x, s, b2: groupnorm_silu(x, s, b2))
         r = jax.jit(lambda x, s, b2: groupnorm_silu_reference(x, s, b2))
         dd = maxdiff(f(xx, s, bb), r(xx, s, bb))
-        tf_, tx = bench(f, xx, s, bb), bench(r, xx, s, bb)
+        tf_, tx = scan_time(f, xx, s, bb), scan_time(r, xx, s, bb)
         print(f"gn_silu ({b},{h}x{h},{c}): {tf_*1e3:.3f}ms vs xla "
               f"{tx*1e3:.3f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 
@@ -125,8 +90,8 @@ def main():
     r = jax.jit(lambda *a: masked_sgd_update_reference(*a, 0.01))
     dd = maxdiff(f(p, m0, g, mask, t0), r(p, m0, g, mask, t0))
     fp = lambda o: o[0]  # noqa: E731 — feed new params back
-    tf_, tx = (bench(f, p, m0, g, mask, t0, feed=fp),
-               bench(r, p, m0, g, mask, t0, feed=fp))
+    tf_, tx = (scan_time(f, p, m0, g, mask, t0, feed=fp),
+               scan_time(r, p, m0, g, mask, t0, feed=fp))
     print(f"masked_sgd ({n/1e6:.0f}M): {tf_*1e3:.3f}ms vs xla "
           f"{tx*1e3:.3f}ms ({tx/tf_:.2f}x), max|diff| {dd:.2e}")
 

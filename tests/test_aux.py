@@ -76,3 +76,60 @@ def test_ddpm_ckpt_util():
     assert "ema_cifar10" in URL_MAP
     with pytest.raises(FileNotFoundError):
         get_ckpt_path("cifar10", "/nonexistent")
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Breaking out of a prefetch() iterator must release the producer
+    thread (a blocking q.put would leak it and pin batches)."""
+    import threading
+    import time as _time
+
+    from salun.data.pipeline import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    n_before = threading.active_count()
+    it = prefetch(gen(), depth=2)
+    for x in it:
+        if x >= 3:
+            break
+    it.close()  # consumer abandons
+    deadline = _time.time() + 5
+    while threading.active_count() > n_before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n_before, "producer thread leaked"
+    assert len(produced) < 1000, "producer ran to completion after abandon"
+
+
+def test_npz_fallback_path_with_suffix(tmp_path, monkeypatch):
+    """save/restore agree even when the caller's path already ends in
+    .npz (np.savez(str) would silently skip appending the suffix)."""
+    import builtins
+    import sys
+
+    from salun.ckpt import store
+
+    # force the npz fallback by making orbax unimportable
+    real_import = builtins.__import__
+
+    def no_orbax(name, *a, **k):
+        if name.startswith("orbax"):
+            raise ImportError("forced for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+    monkeypatch.delitem(sys.modules, "orbax.checkpoint", raising=False)
+    monkeypatch.delitem(sys.modules, "orbax", raising=False)
+
+    payload = {"a": np.arange(4.0), "b": {"c": np.ones((2, 2))}}
+    p = str(tmp_path / "ck.npz")
+    store.save(p, payload)
+    assert store.exists(p)
+    got = store.restore(p)
+    np.testing.assert_array_equal(got["a"], payload["a"])
+    np.testing.assert_array_equal(got["b"]["c"], payload["b"]["c"])
