@@ -151,13 +151,15 @@ def bench_ddpm_salun_step():
 
     for i in range(2):
         carry, loss = step_c(carry, remain, forget, jax.random.PRNGKey(i))
-    jax.block_until_ready(carry[0])
+    float(loss)  # scalar fetch — block_until_ready can no-op on axon
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         carry, loss = step_c(carry, remain, forget, jax.random.PRNGKey(10 + i))
-    jax.block_until_ready(carry[0])
+    # the carry chain is serial, so fetching the LAST loss forces all
+    # iterations; block_until_ready on arrays is not reliable here
+    float(loss)
     dt = time.perf_counter() - t0
 
     steps_s = iters / dt
@@ -306,7 +308,9 @@ def bench_maskgen():
     t_acc = time.perf_counter() - t0
     t0 = time.perf_counter()
     masks = generate_masks(sal, DEFAULT_THRESHOLDS)
-    jax.block_until_ready(jax.tree.leaves(masks[1.0])[0])
+    # fetch (not block) a scalar from the LAST-dispatched threshold's
+    # program — device execution is FIFO, so this forces the whole sweep
+    float(jnp.sum(jax.tree.leaves(masks[1.0])[0]))
     t_sweep = time.perf_counter() - t0
 
     # the reference's sweep, measured: double argsort over the 11M-element
@@ -391,13 +395,13 @@ def bench_resnet_rl():
 
     for i in range(3):
         state, m = step_c(state, data, jax.random.PRNGKey(i))
-    jax.block_until_ready(state.params)
+    float(m["loss"])  # scalar fetch (see DDPM section)
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step_c(state, data, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state.params)
+    float(m["loss"])
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

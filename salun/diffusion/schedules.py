@@ -63,21 +63,28 @@ class DiffusionSchedule:
             logvar = np.log(np.maximum(posterior_var, 1e-20))
         else:
             raise NotImplementedError(var_type)
+        # HOST (numpy) tables, not device arrays: the schedule is closed
+        # over by every jitted step, and embedding device-resident
+        # constants forces a device->host fetch per lowering — minutes
+        # through a congested remote tunnel. Numpy constants lower
+        # locally; inside jit they are baked in identically.
         return cls(
-            betas=jnp.asarray(betas64, jnp.float32),
-            alphas_cumprod=jnp.asarray(acp, jnp.float32),
-            logvar=jnp.asarray(logvar, jnp.float32),
+            betas=np.asarray(betas64, np.float32),
+            alphas_cumprod=np.asarray(acp, np.float32),
+            logvar=np.asarray(logvar, np.float32),
         )
 
     def alpha_bar(self, t):
         """ᾱ_t with boundary ᾱ_{-1}=1 (denoising.py compute_alpha)."""
-        acp = jnp.concatenate([jnp.ones((1,), jnp.float32), self.alphas_cumprod])
+        acp = jnp.concatenate([jnp.ones((1,), jnp.float32),
+                               jnp.asarray(self.alphas_cumprod)])
         return acp[t + 1]
 
 
 def q_sample(x0, t, noise, schedule: DiffusionSchedule):
     """Forward process x_t = √ᾱ_t·x₀ + √(1−ᾱ_t)·ε (losses.py:31-33)."""
-    a = schedule.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    # jnp view: numpy tables can't be indexed by traced t
+    a = jnp.asarray(schedule.alphas_cumprod)[t].reshape(-1, 1, 1, 1)
     return x0 * jnp.sqrt(a) + noise * jnp.sqrt(1.0 - a)
 
 

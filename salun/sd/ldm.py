@@ -110,7 +110,7 @@ class SDModules:
                                t.astype(jnp.float32), context)
 
     def q_sample(self, z0, t, noise):
-        a = self.schedule.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        a = jnp.asarray(self.schedule.alphas_cumprod)[t].reshape(-1, 1, 1, 1)
         return jnp.sqrt(a) * z0 + jnp.sqrt(1.0 - a) * noise
 
     # ------------------------------------------------------------ losses
