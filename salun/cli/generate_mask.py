@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from salun import ckpt
 from salun.cli.args import parse_args
 from salun.cli.setup import build_unlearn_loaders, setup_model_dataset
-from salun.core import accumulate_saliency, generate_masks
+from salun.core import (accumulate_saliency, accumulate_saliency_scanned,
+                        generate_masks)
 from salun.core.mask import DEFAULT_THRESHOLDS
 from salun.core.train import cross_entropy
 from salun.data.loader import to_float
@@ -39,10 +40,21 @@ def save_gradient_ratio(loaders, model, params, batch_stats, args):
 
         return jax.grad(loss)(params)
 
-    sal = accumulate_saliency(
-        grad_fn, params,
-        (jax.tree.map(jnp.asarray, b) for b in forget_loader),
-    )
+    batches = [b for b in forget_loader]
+    same_shape = len({b["image"].shape for b in batches}) == 1
+    if same_shape and len(batches) > 1:
+        # fast path: the whole forget epoch as ONE dispatched lax.scan
+        # (the reference recipes' forget sets are a few thousand images -
+        # stacking on device is cheap, and per-batch dispatch latency
+        # dominates the streamed variant on a remote backend)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+        sal = accumulate_saliency_scanned(grad_fn, params, stacked)
+    else:
+        sal = accumulate_saliency(
+            grad_fn, params,
+            (jax.tree.map(jnp.asarray, b) for b in batches),
+        )
     masks = generate_masks(sal, DEFAULT_THRESHOLDS)
     for t, m in masks.items():
         ckpt.save(os.path.join(args.save_dir, f"with_{t}"), {"mask": m})
