@@ -26,7 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--mode", type=str, default="sample_fid",
                    choices=["sample", "sample_fid", "sample_classes",
-                            "sample_one_class", "sample_visualization"])
+                            "sample_one_class", "sample_visualization",
+                            "sample_trajectory"])
     p.add_argument("--ckpt_folder", type=str, required=True)
     p.add_argument("--save_dir", type=str, default="results/ddpm/samples")
     p.add_argument("--n_samples_per_class", type=int, default=5000)
@@ -65,6 +66,17 @@ def main(argv=None):
     params = payload["ema"] if args.use_ema and "ema" in payload else payload["params"]
 
     classes = create_class_labels(args.classes, bundle.unet.n_classes)
+    if args.mode == "sample_trajectory":
+        # per-step chain dump (the reference keeps every x_t for its
+        # sample mode, denoising.py:31,93) — one .npz with xs + x0 preds
+        xs, x0s = runner.sample_trajectory(
+            params, key, classes=classes, cond_scale=args.cond_scale,
+            sample_type=args.sample_type, timesteps=args.timesteps)
+        out = os.path.join(args.save_dir, "trajectory.npz")
+        np.savez_compressed(out, xs=np.asarray(xs), x0_preds=np.asarray(x0s),
+                            classes=np.asarray(classes))
+        print(f"saved {out} xs={tuple(np.asarray(xs).shape)}")
+        return
     if args.mode == "sample_visualization":
         imgs = runner.sample_visualization(params, key,
                                            cond_scale=args.cond_scale,

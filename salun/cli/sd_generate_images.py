@@ -23,6 +23,8 @@ from salun.sd.data import read_prompts_csv
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--prompts_path", required=True)
+    p.add_argument("--config", default=None,
+                   help="v1-inference.yaml-style model config")
     p.add_argument("--ckpt_path", default=None)
     p.add_argument("--save_path", default="evaluation_folder")
     p.add_argument("--guidance_scale", type=float, default=7.5)
@@ -32,7 +34,12 @@ def main(argv=None):
     p.add_argument("--from_case", type=int, default=0)
     args = p.parse_args(argv)
 
-    modules = SDModules.create()
+    if args.config:
+        from salun.sd.config import modules_from_yaml
+
+        modules = modules_from_yaml(args.config)
+    else:
+        modules = SDModules.create()
     key = jax.random.PRNGKey(0)
     if args.ckpt_path and args.ckpt_path.endswith(".ckpt"):
         sd = load_compvis_state_dict(args.ckpt_path)

@@ -36,6 +36,10 @@ from salun.utils.tree import tree_size
 
 
 def _common(p):
+    p.add_argument("--config", type=str, default=None,
+                   help="v1-inference.yaml-style model config (reference "
+                        "SD/configs/stable-diffusion/v1-inference.yaml); "
+                        "default = built-in sd-v1 dataclass defaults")
     p.add_argument("--ckpt_path", type=str, default=None,
                    help="CompVis sd-v1-4.ckpt (imported) or our orbax ckpt")
     p.add_argument("--data", type=str, default="./data")
@@ -128,7 +132,12 @@ def main(argv=None):
     os.makedirs(args.save_dir, exist_ok=True)
     seed_all(args.seed)
     key = jax.random.PRNGKey(args.seed)
-    modules = SDModules.create()
+    if getattr(args, "config", None):
+        from salun.sd.config import modules_from_yaml
+
+        modules = modules_from_yaml(args.config)
+    else:
+        modules = SDModules.create()
     params = load_params(modules, args, key)
     latent = args.image_size // 8
 

@@ -32,9 +32,13 @@ from .common import (
 
 def _relabel_concat_loader(loaders, cfg: UnlearnConfig, epoch: int):
     """Forget set with fresh random labels, concatenated with retain and
-    shuffled (RL.py:51-59)."""
+    shuffled (RL.py:51-59). Relabeling uses a Generator seeded from
+    (cfg.seed, epoch) — never the global np.random state, so the CIFAR-100
+    RL trajectory is reproducible regardless of call order."""
+    gen = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch]))
     forget = loaders["forget"].ds.copy()
-    forget.targets = np.random.randint(0, cfg.num_classes, forget.targets.shape)
+    forget.targets = gen.integers(
+        0, cfg.num_classes, forget.targets.shape, dtype=forget.targets.dtype)
     retain = loaders["retain"].ds
     import numpy as _np
     from dataclasses import replace as dc_replace

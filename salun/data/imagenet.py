@@ -38,9 +38,18 @@ class ImageNetLoader:
                  image_size: int = 224, seed: int = 1,
                  decode_workers: Optional[int] = None,
                  prefetch_depth: int = 4):
-        from datasets import load_dataset
+        import os
 
-        self.ds = load_dataset(data_path)
+        if os.path.isdir(data_path):
+            # an on-disk DatasetDict (datasets.save_to_disk) — the
+            # zero-egress deployment path: seed once, load locally
+            from datasets import load_from_disk
+
+            self.ds = load_from_disk(data_path)
+        else:
+            from datasets import load_dataset
+
+            self.ds = load_dataset(data_path)
         self.batch_size = batch_size
         self.image_size = image_size
         self.seed = seed

@@ -409,3 +409,23 @@ class DDPMRunner:
             n_per_class=n_per_class, cond_scale=cond_scale,
             timesteps=timesteps,
         )
+
+    def sample_trajectory(self, params, key, *, classes,
+                          cond_scale: Optional[float] = None,
+                          sample_type: str = "generalized",
+                          timesteps: Optional[int] = None):
+        """Per-step denoising chain for visualization — parity with the
+        reference's trajectory dump (denoising.py:31,93 offload every x_t
+        to CPU; ours is two stacked scan outputs). Returns (xs, x0_preds)
+        in [0,1], each [steps, B, H, W, C]."""
+        cond_scale = self.cfg.cond_scale if cond_scale is None else cond_scale
+        labels = jnp.asarray(classes, jnp.int32)
+        _, xs, x0s = sample_image(
+            self.model, {"params": params}, self.schedule, key,
+            batch=labels.shape[0], image_size=self.unet_cfg.image_size,
+            channels=self.unet_cfg.in_channels, classes=labels,
+            cond_scale=cond_scale, sample_type=sample_type,
+            timesteps=timesteps, return_trajectory=True,
+        )
+        clip01 = lambda v: jnp.clip((v + 1.0) / 2.0, 0.0, 1.0)
+        return clip01(xs), clip01(x0s)

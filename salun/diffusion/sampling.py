@@ -30,13 +30,31 @@ def _seq_pairs(seq: Sequence[int]):
     return ts, ts_next
 
 
+def ldm_uniform_timesteps(num_ddpm_timesteps: int, num_steps: int):
+    """The ldm 'uniform' DDIM discretization: ``range(0, T, T//S) + 1``
+    (SD/ldm/modules/diffusionmodules/util.py make_ddim_timesteps — note the
+    +1 shift; the DDPM workload's own seq, sample.py, is NOT shifted).
+
+    Use with ``final_alpha_bar=schedule.alphas_cumprod[0]``: ldm's
+    make_ddim_sampling_parameters sets alphas_prev[0] = ᾱ₀ (not 1.0)."""
+    c = num_ddpm_timesteps // num_steps
+    return [int(s) + 1 for s in range(0, num_ddpm_timesteps, c)]
+
+
 def generalized_steps(
     eps_fn: Callable, x: jnp.ndarray, seq: Sequence[int],
     schedule: DiffusionSchedule, *, eta: float = 0.0, key=None,
+    final_alpha_bar: Optional[float] = None, return_trajectory: bool = False,
 ):
     """DDIM chain (denoising.py:10-33). ``eps_fn(x, t_batch) -> eps``.
 
-    Returns the final x and the last x0 prediction.
+    ``final_alpha_bar`` overrides ᾱ at the −1 boundary (default 1.0, the
+    DDPM compute_alpha zero-pad; ldm's DDIMSampler uses ᾱ₀ instead).
+    Returns the final x and the last x0 prediction; with
+    ``return_trajectory=True`` instead returns (x_final, xs, x0_preds)
+    where xs/x0_preds are [steps, B, H, W, C] — the whole chain the
+    reference keeps for visualization (denoising.py:31,93), here staying
+    on device as scan outputs instead of per-step CPU offloads.
     """
     ts, ts_next = _seq_pairs(seq)
     n = x.shape[0]
@@ -48,6 +66,8 @@ def generalized_steps(
         t = jnp.full((n,), i, jnp.int32)
         at = schedule.alpha_bar(jnp.full((n,), i, jnp.int32)).reshape(-1, 1, 1, 1)
         at_next = schedule.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(-1, 1, 1, 1)
+        if final_alpha_bar is not None:
+            at_next = jnp.where(j < 0, jnp.float32(final_alpha_bar), at_next)
         et = eps_fn(xt, t.astype(jnp.float32))
         x0_t = (xt - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
         c1 = eta * jnp.sqrt((1 - at / at_next) * (1 - at_next) / (1 - at))
@@ -55,16 +75,21 @@ def generalized_steps(
         k, sub = jax.random.split(k)
         noise = jax.random.normal(sub, xt.shape, xt.dtype)
         xt_next = jnp.sqrt(at_next) * x0_t + c1 * noise + c2 * et
-        return (xt_next, k), x0_t
+        out = (xt_next, x0_t) if return_trajectory else x0_t
+        return (xt_next, k), out
 
-    (x_final, _), x0_preds = jax.lax.scan(body, (x, key),
-                                          jnp.stack([ts, ts_next], axis=1))
-    return x_final, x0_preds[-1]
+    (x_final, _), outs = jax.lax.scan(body, (x, key),
+                                      jnp.stack([ts, ts_next], axis=1))
+    if return_trajectory:
+        xs, x0_preds = outs
+        return x_final, xs, x0_preds
+    return x_final, outs[-1]
 
 
 def ddpm_steps(
     eps_fn: Callable, x: jnp.ndarray, seq: Sequence[int],
     schedule: DiffusionSchedule, *, key=None,
+    return_trajectory: bool = False,
 ):
     """Ancestral sampling (denoising.py:36-69)."""
     ts, ts_next = _seq_pairs(seq)
@@ -90,11 +115,15 @@ def ddpm_steps(
         mask = (t > 0).astype(xt.dtype).reshape(-1, 1, 1, 1)
         logvar = jnp.log(beta_t)
         sample = mean + mask * jnp.exp(0.5 * logvar) * noise
-        return (sample, k), x0
+        out = (sample, x0) if return_trajectory else x0
+        return (sample, k), out
 
-    (x_final, _), x0_preds = jax.lax.scan(body, (x, key),
-                                          jnp.stack([ts, ts_next], axis=1))
-    return x_final, x0_preds[-1]
+    (x_final, _), outs = jax.lax.scan(body, (x, key),
+                                      jnp.stack([ts, ts_next], axis=1))
+    if return_trajectory:
+        xs, x0_preds = outs
+        return x_final, xs, x0_preds
+    return x_final, outs[-1]
 
 
 def make_conditional_eps_fn(model: ConditionalUNet, variables,
@@ -113,10 +142,13 @@ def sample_image(
     *, batch: int, image_size: int, channels: int, classes: jnp.ndarray,
     cond_scale: float = 2.0, sample_type: str = "generalized",
     timesteps: Optional[int] = None, skip_type: str = "uniform",
-    eta: float = 0.0,
+    eta: float = 0.0, return_trajectory: bool = False,
 ):
     """Full image sampling pipeline (runners/diffusion.py sample_image):
-    build the timestep subsequence, run the chain, return x in [−1,1]."""
+    build the timestep subsequence, run the chain, return x in [−1,1].
+    With ``return_trajectory=True`` returns (x, xs, x0_preds) — the
+    per-step chain the reference's sample mode visualizes
+    (denoising.py:31,93 keep every x_t)."""
     T = schedule.num_timesteps
     timesteps = timesteps or T
     if skip_type == "uniform":
@@ -134,17 +166,19 @@ def sample_image(
     x = jax.random.normal(nk, (batch, image_size, image_size, channels))
     eps_fn = make_conditional_eps_fn(model, variables, classes, cond_scale)
     if sample_type == "generalized":
-        x, _ = generalized_steps(eps_fn, x, seq, schedule, eta=eta, key=key)
+        out = generalized_steps(eps_fn, x, seq, schedule, eta=eta, key=key,
+                                return_trajectory=return_trajectory)
     elif sample_type == "ddpm_noisy":
-        x, _ = ddpm_steps(eps_fn, x, seq, schedule, key=key)
+        out = ddpm_steps(eps_fn, x, seq, schedule, key=key,
+                         return_trajectory=return_trajectory)
     else:
         raise NotImplementedError(sample_type)
-    return x
+    return out if return_trajectory else out[0]
 
 
 def plms_steps(
     eps_fn: Callable, x: jnp.ndarray, seq: Sequence[int],
-    schedule: DiffusionSchedule,
+    schedule: DiffusionSchedule, final_alpha_bar: Optional[float] = None,
 ):
     """PLMS sampler (SD/ldm/models/diffusion/plms.py:268-382): pseudo
     linear multistep — Adams-Bashforth combination of the last ≤4 eps
@@ -157,6 +191,8 @@ def plms_steps(
     def x_prev_from(e, xt, i, j):
         at = schedule.alpha_bar(jnp.full((n,), i, jnp.int32)).reshape(-1, 1, 1, 1)
         a_prev = schedule.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(-1, 1, 1, 1)
+        if final_alpha_bar is not None:
+            a_prev = jnp.where(j < 0, jnp.float32(final_alpha_bar), a_prev)
         pred_x0 = (xt - jnp.sqrt(1.0 - at) * e) / jnp.sqrt(at)
         dir_xt = jnp.sqrt(1.0 - a_prev) * e
         return jnp.sqrt(a_prev) * pred_x0 + dir_xt, pred_x0

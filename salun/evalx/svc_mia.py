@@ -27,9 +27,13 @@ from salun.data.loader import to_float
 
 
 def collect_prob(model, params, batch_stats, loader):
-    """Softmax probs + labels over a loader (SVC_MIA.py:25-50)."""
+    """Softmax probs + labels over a loader (SVC_MIA.py:25-50).
+
+    Returns ``(None, None)`` for an absent/empty loader — the caller picks
+    the class count from a non-empty split (the old ``np.zeros((0, 10))``
+    hardcode broke CIFAR-100/ImageNet MIA when a split was missing)."""
     if loader is None:
-        return np.zeros((0, 10), np.float32), np.zeros((0,), np.int64)
+        return None, None
 
     @jax.jit
     def probs_of(batch):
@@ -39,13 +43,15 @@ def collect_prob(model, params, batch_stats, loader):
         out = model.apply(variables, to_float(batch["image"]), train=False)
         return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
 
-    ps, ys, ws = [], [], []
+    ps, ys = [], []
     for batch in loader:
         batch = jax.tree.map(jnp.asarray, batch)
         p = np.asarray(probs_of(batch))
         w = np.asarray(batch["weight"]) > 0
         ps.append(p[w])
         ys.append(np.asarray(batch["label"])[w])
+    if not ps:
+        return None, None
     return np.concatenate(ps), np.concatenate(ys).astype(np.int64)
 
 
@@ -110,6 +116,23 @@ def SVC_MIA(model, params, batch_stats, *, shadow_train, shadow_test,
     se_p, se_y = collect_prob(model, params, batch_stats, shadow_test)
     tt_p, tt_y = collect_prob(model, params, batch_stats, target_train)
     te_p, te_y = collect_prob(model, params, batch_stats, target_test)
+
+    # class count from any non-empty split (never hardcoded)
+    widths = [p.shape[1] for p in (st_p, se_p, tt_p, te_p) if p is not None]
+    if not widths:
+        raise ValueError("SVC_MIA: every split is empty")
+    n_classes = widths[0]
+
+    def _or_empty(p, y):
+        if p is None:
+            return (np.zeros((0, n_classes), np.float32),
+                    np.zeros((0,), np.int64))
+        return p, y
+
+    st_p, st_y = _or_empty(st_p, st_y)
+    se_p, se_y = _or_empty(se_p, se_y)
+    tt_p, tt_y = _or_empty(tt_p, tt_y)
+    te_p, te_y = _or_empty(te_p, te_y)
 
     f_st = features(st_p, st_y)
     f_se = features(se_p, se_y)

@@ -106,6 +106,53 @@ def _place(flat: Dict[str, np.ndarray], path: str, v: np.ndarray,
         raise KeyError(f"{path}.{leaf}")
 
 
+def _validate_and_build(flat: Dict[str, np.ndarray], template, label: str):
+    """flat {name: array} → pytree shaped like ``template`` (strict names
+    and shapes — a silent partial import would invalidate parity)."""
+    import jax.numpy as jnp
+
+    from salun.utils.tree import flatten_names, tree_from_flat
+
+    tmpl = flatten_names(template)
+    missing = set(tmpl) - set(flat)
+    extra = set(flat) - set(tmpl)
+    if missing or extra:
+        raise KeyError(
+            f"{label} import mismatch: missing={sorted(missing)[:8]} "
+            f"extra={sorted(extra)[:8]}"
+        )
+    for k in tmpl:
+        assert flat[k].shape == tmpl[k].shape, (
+            label, k, flat[k].shape, tmpl[k].shape)
+    return tree_from_flat({k: jnp.asarray(flat[k]) for k in tmpl})
+
+
+def import_unet_state(sd: dict, template):
+    """Bare ``UNetModel`` state dict (keys like
+    ``input_blocks.1.0.in_layers.0.weight``, no ``model.diffusion_model.``
+    prefix — the layout random_label.py saves for unet-only checkpoints) →
+    flax SDUNet params."""
+    flat: Dict[str, np.ndarray] = {}
+    for key, tensor in sd.items():
+        name, leaf = key.rsplit(".", 1)
+        _place(flat, map_unet_key(name), _np(tensor), leaf)
+    return _validate_and_build(flat, template, "unet")
+
+
+def import_vae_part(sd: dict, template, part: str):
+    """Bare Encoder/Decoder state dict
+    (ldm/modules/diffusionmodules/model.py:379-627) → flax params.
+    ``part`` ∈ {encoder, decoder} selects the key-mapping namespace."""
+    assert part in ("encoder", "decoder")
+    flat: Dict[str, np.ndarray] = {}
+    for key, tensor in sd.items():
+        name, leaf = key.rsplit(".", 1)
+        mapped = map_vae_key(f"{part}.{name}")
+        assert mapped.startswith(part + "/"), (key, mapped)
+        _place(flat, mapped[len(part) + 1:], _np(tensor), leaf)
+    return _validate_and_build(flat, template, part)
+
+
 def import_compvis(sd: dict, templates: dict) -> dict:
     """Full CompVis state dict → {"unet", "vae", "clip"} params trees.
 
@@ -140,21 +187,8 @@ def import_compvis(sd: dict, templates: dict) -> dict:
         # other keys (ema, model_ema, betas buffers, logvar) are derived
         # state we recompute — skipped.
 
-    out = {}
-    for part, flat in flats.items():
-        tmpl = flatten_names(templates[part])
-        missing = set(tmpl) - set(flat)
-        extra = set(flat) - set(tmpl)
-        if missing or extra:
-            raise KeyError(
-                f"{part} import mismatch: missing={sorted(missing)[:8]} "
-                f"extra={sorted(extra)[:8]}"
-            )
-        for k in tmpl:
-            assert flat[k].shape == tmpl[k].shape, (
-                part, k, flat[k].shape, tmpl[k].shape)
-        out[part] = tree_from_flat({k: jnp.asarray(flat[k]) for k in tmpl})
-    return out
+    return {part: _validate_and_build(flat, templates[part], part)
+            for part, flat in flats.items()}
 
 
 def export_compvis_unet(unet_params) -> dict:

@@ -24,7 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from salun.diffusion.sampling import generalized_steps
+from salun.diffusion.sampling import generalized_steps, ldm_uniform_timesteps
 from salun.diffusion.schedules import DiffusionSchedule
 
 from .clip_text import CLIPTextConfig, CLIPTextModel, tokenize
@@ -54,13 +54,15 @@ class SDModules:
     def create(cls, unet_cfg: Optional[SDUNetConfig] = None,
                vae_cfg: Optional[VAEConfig] = None,
                clip_cfg: Optional[CLIPTextConfig] = None,
-               num_timesteps: int = 1000):
+               num_timesteps: int = 1000, linear_start: float = 0.00085,
+               linear_end: float = 0.012):
         unet_cfg = unet_cfg or SDUNetConfig()
         vae_cfg = vae_cfg or VAEConfig()
         clip_cfg = clip_cfg or CLIPTextConfig()
         return cls(
             unet=SDUNet(unet_cfg), vae=AutoencoderKL(vae_cfg),
-            clip=CLIPTextModel(clip_cfg), schedule=sd_schedule(num_timesteps),
+            clip=CLIPTextModel(clip_cfg),
+            schedule=sd_schedule(num_timesteps, linear_start, linear_end),
             scale_factor=vae_cfg.scale_factor,
         )
 
@@ -163,7 +165,10 @@ class SDModules:
         ctx_u = self.encode_text(params, ids_u)
 
         T = self.schedule.num_timesteps
-        seq = list(range(0, T, T // steps))
+        # ldm 'uniform' discretization: +1-shifted grid, ᾱ₀ at the boundary
+        # (ddim.py make_schedule / util.py make_ddim_timesteps)
+        seq = ldm_uniform_timesteps(T, steps)
+        final_ab = float(self.schedule.alphas_cumprod[0])
         key, nk = jax.random.split(key)
         z = jax.random.normal(
             nk, (n, image_size, image_size, self.vae.cfg.z_channels)
@@ -172,10 +177,11 @@ class SDModules:
         if sampler == "plms":
             from salun.diffusion.sampling import plms_steps
 
-            z, _ = plms_steps(eps_fn, z, seq, self.schedule)
+            z, _ = plms_steps(eps_fn, z, seq, self.schedule,
+                              final_alpha_bar=final_ab)
         else:
             z, _ = generalized_steps(eps_fn, z, seq, self.schedule, eta=eta,
-                                     key=key)
+                                     key=key, final_alpha_bar=final_ab)
         if return_latents:
             return z
         img = self.decode_latent(params, z)
@@ -184,11 +190,20 @@ class SDModules:
     def partial_sample_latent(self, params, key, ctx, *, t_target: int,
                               steps: int, image_size: int,
                               guidance: float = 0.0, uncond_ctx=None):
-        """Denoise from pure noise down to timestep ``t_target`` — the ESD
-        partial-denoise trick (SD/train-scripts/train-esd.py:240-291)."""
+        """Denoise from pure noise down to (not through) timestep
+        ``t_target`` — the ESD partial-denoise trick
+        (SD/train-scripts/train-esd.py:240-291, quick_sample_till_t:
+        ddim_sampling breaks when index+1 == till, ddim.py:280-281, so the
+        chain STOPS with z still at noise level ≈ t_target). The last
+        executed transition lands on the grid point at/above ``t_target``;
+        the remaining steps never run."""
         T = self.schedule.num_timesteps
         step_size = T // steps
-        seq = list(range(t_target, T, step_size))
+        seq = [s for s in range(0, T, step_size) if s >= t_target]
+        if len(seq) < 2:   # nothing above the target: return pure noise
+            n = ctx.shape[0]
+            return jax.random.normal(
+                key, (n, image_size, image_size, self.vae.cfg.z_channels))
         n = ctx.shape[0]
         key, nk = jax.random.split(key)
         z = jax.random.normal(
@@ -199,5 +214,26 @@ class SDModules:
         else:
             def eps_fn(zz, tt):
                 return self.apply_model(params, zz, tt, ctx)
-        z, _ = generalized_steps(eps_fn, z, seq, self.schedule, key=key)
+
+        # manual pair walk: transitions (seq[k] → seq[k-1]) ending AT
+        # seq[0] — generalized_steps would append the (seq[0] → −1)
+        # boundary transition and fully denoise past the target
+        ts = jnp.asarray(list(reversed(seq[1:])), jnp.int32)
+        ts_next = jnp.asarray(list(reversed(seq[:-1])), jnp.int32)
+        sched = self.schedule
+
+        def body(carry, t_pair):
+            zt, k = carry
+            i, j = t_pair
+            t = jnp.full((n,), i, jnp.int32)
+            at = sched.alpha_bar(t).reshape(-1, 1, 1, 1)
+            at_next = sched.alpha_bar(
+                jnp.full((n,), j, jnp.int32)).reshape(-1, 1, 1, 1)
+            et = eps_fn(zt, t.astype(jnp.float32))
+            x0_t = (zt - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+            z_next = jnp.sqrt(at_next) * x0_t + jnp.sqrt(1.0 - at_next) * et
+            return (z_next, k), None
+
+        (z, _), _ = jax.lax.scan(body, (z, key),
+                                 jnp.stack([ts, ts_next], axis=1))
         return z

@@ -27,8 +27,26 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from salun.diffusion.unet import timestep_embedding
 from salun.kernels.attention import multi_head_attention
+
+
+def openai_timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """OpenAI-UNet sinusoidal embedding: cos-first, ``/half`` frequency
+    denominator (ldm/modules/diffusionmodules/util.py timestep_embedding) —
+    NOT the DDPM variant (sin-first, ``/(half-1)``,
+    DDPM/models/diffusion.py:17-35). The two disagree numerically; using
+    the wrong one silently breaks imported sd-v1 checkpoints."""
+    import math
+
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
 
 
 @dataclass(frozen=True)
@@ -87,7 +105,7 @@ class FeedForward(nn.Module):
         inner = int(self.dim * self.mult)
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)  # torch F.gelu = exact erf
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
@@ -195,7 +213,7 @@ class SDUNet(nn.Module):
         dt = c.dtype
         time_dim = c.model_channels * 4
 
-        emb = timestep_embedding(t, c.model_channels)
+        emb = openai_timestep_embedding(t, c.model_channels)
         emb = nn.Dense(time_dim, dtype=dt, name="time_embed_0")(emb)
         emb = nn.silu(emb)
         emb = nn.Dense(time_dim, dtype=dt, name="time_embed_2")(emb)

@@ -66,6 +66,8 @@ _SLOW = {
     "test_ddpm_resume_matches_straight_run",
     "test_main_train_resume_matches_straight_run",
     "test_main_random_resume_skips_unlearning",
+    "test_ddpm_unet_matches_reference_cifar10",
+    "test_partial_sample_latent_stops_at_t_target",
 }
 
 

@@ -1,0 +1,445 @@
+"""Architecture golden parity vs the reference's OWN torch modules.
+
+VERDICT r2 item #1: the algorithm core was already golden-tested on toy
+models (test_reference_parity.py); here the three big ported architectures
+and the samplers are pinned against the reference's importable torch code,
+with weights transported through the production importers — any porting bug
+(GroupNorm eps, attention scaling, embedding layout, pad asymmetry, GELU
+variant…) shows up as a numerical mismatch:
+
+  * DDPM ``Conditional_Model`` (/root/reference/DDPM/models/diffusion.py:195-413)
+    vs salun.diffusion.unet.ConditionalUNet via ckpt.import_ddpm_unet —
+    train path (cond_drop 0) + CFG test path (diffusion.py:340-355);
+  * SD ``UNetModel`` (/root/reference/SD/ldm/modules/diffusionmodules/
+    openaimodel.py:428) + SpatialTransformer (ldm/modules/attention.py:246)
+    vs salun.sd.unet.SDUNet via sd.import_ckpt.import_unet_state;
+  * plain-torch VAE Encoder/Decoder (ldm/modules/diffusionmodules/
+    model.py:379-627) vs salun.sd.vae via import_vae_part;
+  * DDIM: functions/denoising.py generalized_steps(_conditional) vs
+    salun.diffusion.sampling.generalized_steps; the SalUn-forked
+    ``DDIMSampler`` (ldm/models/diffusion/ddim.py:22, incl. its
+    ``t_start=-1`` last-step drop) and ``PLMSSampler`` vs our samplers with
+    the ldm 'uniform' +1-shifted discretization and ᾱ₀ boundary.
+
+Reference modules are imported from /root/reference (read-only) and run on
+CPU; the only modification is neutralizing ``register_buffer``'s
+unconditional ``.to("cuda")`` (ddim.py:39-42).
+"""
+
+import sys
+from types import SimpleNamespace as NS
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+DDPM_REF = "/root/reference/DDPM"
+SD_REF = "/root/reference/SD"
+
+
+def _with_ref_path(path):
+    if path not in sys.path:
+        sys.path.insert(0, path)
+
+
+# ---------------------------------------------------------------------------
+# DDPM Conditional_Model
+# ---------------------------------------------------------------------------
+
+
+def _ddpm_ref_config(ch=128, ch_mult=(1, 2, 2, 2), num_res_blocks=2,
+                     attn=(16,), image_size=32):
+    """configs/cifar10_train.yml model block as the nested namespace
+    train.py dict2namespace produces."""
+    return NS(
+        model=NS(ch=ch, out_ch=3, ch_mult=list(ch_mult),
+                 num_res_blocks=num_res_blocks, attn_resolutions=list(attn),
+                 dropout=0.1, in_channels=3, resamp_with_conv=True,
+                 cond_drop_prob=0.1, type="simple", var_type="fixedlarge"),
+        data=NS(image_size=image_size, n_classes=10),
+        diffusion=NS(num_diffusion_timesteps=1000),
+    )
+
+
+def _ddpm_pair(ref_cfg, jx_cfg, batch=2, seed=0):
+    """(torch model.eval(), flax model, transported params, inputs)."""
+    _with_ref_path(DDPM_REF)
+    from models.diffusion import Conditional_Model
+
+    from salun import ckpt
+    from salun.diffusion.unet import ConditionalUNet
+
+    torch.manual_seed(seed)
+    tm = Conditional_Model(_ddpm_ref_config(**ref_cfg))
+    tm.eval()
+
+    jm = ConditionalUNet(jx_cfg)
+    size = jx_cfg.image_size
+    template = jm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
+        jnp.zeros((1,)), jnp.zeros((1,), jnp.int32), train=False,
+        cond_drop_prob=0.0)["params"]
+    params = ckpt.import_ddpm_unet(tm.state_dict(), template)
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, size, size, 3)).astype(np.float32)
+    t = np.asarray([37.0, 951.0][:batch], np.float32)
+    c = np.asarray([3, 7][:batch], np.int32)
+    return tm, jm, params, (x, t, c)
+
+
+def _assert_ddpm_match(ref_cfg, jx_cfg, tol):
+    tm, jm, params, (x, t, c) = _ddpm_pair(ref_cfg, jx_cfg)
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    tt = torch.tensor(t)
+    ct = torch.tensor(c).long()
+
+    # train path, deterministic conditioning (diffusion.py:357-413)
+    with torch.no_grad():
+        want = tm(xt, tt, ct, mode="train", cond_drop_prob=0.0)
+    got = jm.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
+                   jnp.asarray(c), train=False, cond_drop_prob=0.0)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+        rtol=tol, atol=tol, err_msg="train-path eps mismatch")
+
+    # CFG test path (diffusion.py:340-355) vs our doubled-batch cfg_eps
+    from salun.diffusion.unet import cfg_eps
+
+    with torch.no_grad():
+        want = tm(xt, tt, ct, mode="test", cond_scale=2.0)
+    got = cfg_eps(jm, {"params": params}, jnp.asarray(x), jnp.asarray(t),
+                  jnp.asarray(c), cond_scale=2.0)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+        rtol=tol, atol=3 * tol, err_msg="CFG test-path eps mismatch")
+
+
+def test_ddpm_unet_matches_reference_reduced():
+    """Reduced config — fast structural check (quick tier).
+
+    ch MUST stay 128: the reference never passes ``cemb_channels`` to
+    ResnetBlock, so its proj expects 4·ch + 512 inputs while forward feeds
+    8·ch (diffusion.py:92-94,260-264,131) — the torch model can only run
+    when 4·ch == 512. We shrink depth/resolution instead."""
+    from salun.diffusion import UNetConfig
+
+    _assert_ddpm_match(
+        dict(ch=128, ch_mult=(1, 2), num_res_blocks=1, attn=(4,),
+             image_size=8),
+        UNetConfig(ch=128, ch_mult=(1, 2), num_res_blocks=1,
+                   attn_resolutions=(4,), image_size=8),
+        tol=1e-5)
+
+
+def test_ddpm_unet_matches_reference_cifar10():
+    """The full cifar10 config (ch=128, [1,2,2,2], attn@16) — 35.7M params
+    (slow tier)."""
+    from salun.diffusion import UNetConfig
+
+    _assert_ddpm_match(dict(), UNetConfig(), tol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# SD UNetModel (openaimodel + SpatialTransformer)
+# ---------------------------------------------------------------------------
+
+
+def _stub_omegaconf():
+    """openaimodel imports omegaconf.listconfig only to isinstance-check
+    context_dim; omegaconf is not installed here — stub the symbol."""
+    import types
+
+    if "omegaconf.listconfig" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig:  # never instantiated by the test
+            pass
+
+        lc.ListConfig = ListConfig
+        om.listconfig = lc
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.listconfig"] = lc
+
+
+def test_sd_unet_matches_reference():
+    _with_ref_path(SD_REF)
+    _stub_omegaconf()
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    from salun.sd.import_ckpt import import_unet_state
+    from salun.sd.unet import SDUNet, SDUNetConfig
+
+    torch.manual_seed(0)
+    tm = UNetModel(
+        image_size=16, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=[1, 2], dropout=0.0,
+        channel_mult=(1, 2), num_heads=4, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=48, use_checkpoint=False)
+    tm.eval()
+
+    cfg = SDUNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                       num_res_blocks=1, attention_resolutions=(1, 2),
+                       channel_mult=(1, 2), num_heads=4, transformer_depth=1,
+                       context_dim=48)
+    jm = SDUNet(cfg)
+    template = jm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 7, 48)))["params"]
+    params = import_unet_state(tm.state_dict(), template)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    t = np.asarray([5.0, 500.0], np.float32)
+    ctx = rng.standard_normal((2, 7, 48)).astype(np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t),
+                  context=torch.tensor(ctx))
+    got = jm.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
+                   jnp.asarray(ctx))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+        rtol=1e-5, atol=1e-5, err_msg="SD UNet eps mismatch")
+
+
+# ---------------------------------------------------------------------------
+# VAE Encoder / Decoder
+# ---------------------------------------------------------------------------
+
+
+def test_vae_encoder_decoder_match_reference():
+    _with_ref_path(SD_REF)
+    from ldm.modules.diffusionmodules.model import Decoder as TDecoder
+    from ldm.modules.diffusionmodules.model import Encoder as TEncoder
+
+    from salun.sd.import_ckpt import import_vae_part
+    from salun.sd.vae import Decoder, Encoder, VAEConfig
+
+    common = dict(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                  attn_resolutions=[], in_channels=3, resolution=16,
+                  z_channels=4, dropout=0.0)
+    torch.manual_seed(0)
+    te = TEncoder(double_z=True, out_ch=3, **common)
+    td = TDecoder(out_ch=3, **common)
+    te.eval(), td.eval()
+
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                    embed_dim=4, in_channels=3, out_channels=3)
+    je, jd = Encoder(cfg), Decoder(cfg)
+    et = je.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    dt = jd.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)))["params"]
+    ep = import_vae_part(te.state_dict(), et, "encoder")
+    dp = import_vae_part(td.state_dict(), dt, "decoder")
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    z = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+
+    with torch.no_grad():
+        want_m = te(torch.tensor(x).permute(0, 3, 1, 2))
+        want_d = td(torch.tensor(z).permute(0, 3, 1, 2))
+    got_m = je.apply({"params": ep}, jnp.asarray(x))
+    got_d = jd.apply({"params": dp}, jnp.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(got_m).transpose(0, 3, 1, 2), want_m.numpy(),
+        rtol=1e-5, atol=1e-5, err_msg="Encoder moments mismatch")
+    np.testing.assert_allclose(
+        np.asarray(got_d).transpose(0, 3, 1, 2), want_d.numpy(),
+        rtol=1e-5, atol=1e-5, err_msg="Decoder output mismatch")
+
+
+# ---------------------------------------------------------------------------
+# DDPM DDIM / ancestral samplers vs functions/denoising.py
+# ---------------------------------------------------------------------------
+
+
+def _toy_eps_np(W):
+    """Shared toy eps-model: channel-mix + 0.01·t, defined once, evaluated
+    identically in torch (NCHW) and jax (NHWC)."""
+
+    def jax_eps(x, t):
+        return (jnp.einsum("bhwc,cd->bhwd", x, jnp.asarray(W))
+                + 0.01 * t.reshape(-1, 1, 1, 1).astype(jnp.float32))
+
+    def torch_model(xt, t, *args, **kwargs):
+        return (torch.einsum("bchw,cd->bdhw", xt, torch.tensor(W))
+                + 0.01 * t.float().view(-1, 1, 1, 1))
+
+    return jax_eps, torch_model
+
+
+def test_ddpm_generalized_steps_match_reference(rng):
+    """Deterministic (eta=0) DDIM chain, full trajectory. (eta>0 adds RNG
+    noise that cannot match across frameworks; its c1/c2 coefficients are
+    identical algebra, covered by the shared code path.)"""
+    _with_ref_path(DDPM_REF)
+    from functions.denoising import generalized_steps as ref_steps
+
+    from salun.diffusion.sampling import generalized_steps
+    from salun.diffusion.schedules import DiffusionSchedule
+
+    s = DiffusionSchedule.create(num_diffusion_timesteps=50)
+    W = (rng.standard_normal((3, 3)) * 0.1).astype(np.float32)
+    jax_eps, torch_model = _toy_eps_np(W)
+    x0 = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+    seq = list(range(0, 50, 10))
+
+    betas_t = torch.tensor(np.asarray(s.betas))
+    xs, x0s = ref_steps(torch.tensor(x0).permute(0, 3, 1, 2), seq,
+                        torch_model, betas_t, eta=0.0)
+    got, got_xs, got_x0s = generalized_steps(
+        jax_eps, jnp.asarray(x0), seq, s, eta=0.0, return_trajectory=True)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), xs[-1].numpy(),
+        rtol=1e-4, atol=1e-5)
+    # the FULL kept trajectory (reference: xs/x0_preds lists,
+    # denoising.py:23-31) matches step-for-step
+    assert got_xs.shape[0] == len(seq) and got_x0s.shape[0] == len(seq)
+    for k in range(len(seq)):
+        np.testing.assert_allclose(
+            np.asarray(got_xs[k]).transpose(0, 3, 1, 2), xs[k + 1].numpy(),
+            rtol=1e-4, atol=1e-5, err_msg=f"x_t step {k}")
+        np.testing.assert_allclose(
+            np.asarray(got_x0s[k]).transpose(0, 3, 1, 2), x0s[k].numpy(),
+            rtol=1e-4, atol=1e-5, err_msg=f"x0 pred step {k}")
+
+
+def test_ddpm_conditional_cfg_chain_matches_reference(rng):
+    """generalized_steps_conditional (denoising.py:72-95) with a toy
+    conditional CFG model, full trajectory."""
+    _with_ref_path(DDPM_REF)
+    from functions.denoising import generalized_steps_conditional
+
+    from salun.diffusion.sampling import generalized_steps
+    from salun.diffusion.schedules import DiffusionSchedule
+
+    s = DiffusionSchedule.create(num_diffusion_timesteps=40)
+    W = (rng.standard_normal((3, 3)) * 0.1).astype(np.float32)
+    emb = rng.standard_normal((11, 3)).astype(np.float32)  # 10 classes + null
+    cond_scale = 2.0
+
+    def jax_cfg_eps(c):
+        def eps(x, t):
+            tcol = 0.01 * t.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            base = jnp.einsum("bhwc,cd->bhwd", x, jnp.asarray(W)) + tcol
+            e_c = base + jnp.asarray(emb)[c][:, None, None, :]
+            e_0 = base + jnp.asarray(emb)[jnp.full_like(c, 10)][:, None, None, :]
+            return (1 + cond_scale) * e_c - cond_scale * e_0
+        return eps
+
+    def torch_model(xt, t, c, cond_scale=2.0, mode="test"):
+        tcol = 0.01 * t.float().view(-1, 1, 1, 1)
+        base = torch.einsum("bchw,cd->bdhw", xt, torch.tensor(W)) + tcol
+        et = torch.tensor(emb)
+        e_c = base + et[c].view(-1, 3, 1, 1)
+        e_0 = base + et[torch.full_like(c, 10)].view(-1, 3, 1, 1)
+        return (1 + cond_scale) * e_c - cond_scale * e_0
+
+    x0 = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+    c = np.asarray([1, 8], np.int64)
+    seq = list(range(0, 40, 8))
+
+    xs, _ = generalized_steps_conditional(
+        torch.tensor(x0).permute(0, 3, 1, 2), torch.tensor(c), seq,
+        torch_model, torch.tensor(np.asarray(s.betas)), cond_scale=cond_scale)
+    got, _ = generalized_steps(jax_cfg_eps(jnp.asarray(c, jnp.int32)),
+                               jnp.asarray(x0), seq, s, eta=0.0)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), xs[-1].numpy(),
+        rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SD DDIMSampler / PLMSSampler (the SalUn fork, incl. t_start=-1 slice)
+# ---------------------------------------------------------------------------
+
+
+class _StubLDM:
+    """The minimal LatentDiffusion surface DDIMSampler/PLMSSampler touch."""
+
+    def __init__(self, betas_np, W, emb_gain=0.1):
+        self.betas = torch.tensor(np.asarray(betas_np, np.float32))
+        acp = torch.cumprod(1.0 - self.betas, 0)
+        self.alphas_cumprod = acp
+        self.alphas_cumprod_prev = torch.cat([torch.ones(1), acp[:-1]])
+        self.num_timesteps = len(betas_np)
+        self.device = torch.device("cpu")
+        self.W = torch.tensor(W)
+        self.emb_gain = emb_gain
+
+    def apply_model(self, x, t, c):
+        e = (torch.einsum("bchw,cd->bdhw", x, self.W)
+             + 0.01 * t.float().view(-1, 1, 1, 1))
+        return e + self.emb_gain * c.mean(dim=(1, 2)).view(-1, 1, 1, 1)
+
+
+def _patch_register_buffer(monkeypatch, cls):
+    monkeypatch.setattr(cls, "register_buffer",
+                        lambda self, name, attr: setattr(self, name, attr))
+
+
+def _sd_jax_cfg_eps(W, emb_gain, ctx_c, ctx_u, guidance):
+    def eps(z, t):
+        def one(ctx):
+            e = (jnp.einsum("bhwc,cd->bhwd", z, jnp.asarray(W))
+                 + 0.01 * t.reshape(-1, 1, 1, 1).astype(jnp.float32))
+            return e + emb_gain * jnp.mean(ctx, axis=(1, 2)).reshape(-1, 1, 1, 1)
+        e_c, e_u = one(ctx_c), one(ctx_u)
+        return e_u + guidance * (e_c - e_u)
+    return eps
+
+
+@pytest.mark.parametrize("sampler_kind", ["ddim", "plms"])
+def test_sd_sampler_matches_reference(rng, monkeypatch, sampler_kind):
+    _with_ref_path(SD_REF)
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.models.diffusion.plms import PLMSSampler
+
+    from salun.diffusion.sampling import (generalized_steps,
+                                          ldm_uniform_timesteps, plms_steps)
+    from salun.sd.ldm import sd_schedule
+
+    T, S, guidance = 100, 5, 3.0
+    schedule = sd_schedule(num_timesteps=T)
+    W = (rng.standard_normal((4, 4)) * 0.1).astype(np.float32)
+    stub = _StubLDM(np.asarray(schedule.betas), W)
+
+    ctx_c = rng.standard_normal((2, 7, 16)).astype(np.float32)
+    ctx_u = rng.standard_normal((2, 7, 16)).astype(np.float32)
+    xT = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+
+    cls = DDIMSampler if sampler_kind == "ddim" else PLMSSampler
+    _patch_register_buffer(monkeypatch, cls)
+    sampler = cls(stub)
+    samples, _ = sampler.sample(
+        S=S, batch_size=2, shape=(4, 8, 8),
+        conditioning=torch.tensor(ctx_c), eta=0.0,
+        x_T=torch.tensor(xT).permute(0, 3, 1, 2),
+        unconditional_guidance_scale=guidance,
+        unconditional_conditioning=torch.tensor(ctx_u), verbose=False)
+
+    # the fork's DDIMSampler slices timesteps[:t_start] with t_start=-1 →
+    # the LAST grid step is dropped (ddim.py:224); PLMSSampler has no
+    # t_start and walks the full grid (plms.py:190-216)
+    seq = ldm_uniform_timesteps(T, S)
+    if sampler_kind == "ddim":
+        seq = seq[:-1]
+    final_ab = float(schedule.alphas_cumprod[0])
+    eps_fn = _sd_jax_cfg_eps(W, 0.1, jnp.asarray(ctx_c), jnp.asarray(ctx_u),
+                             guidance)
+    if sampler_kind == "ddim":
+        got, _ = generalized_steps(eps_fn, jnp.asarray(xT), seq, schedule,
+                                   eta=0.0, final_alpha_bar=final_ab)
+    else:
+        got, _ = plms_steps(eps_fn, jnp.asarray(xT), seq, schedule,
+                            final_alpha_bar=final_ab)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), samples.numpy(),
+        rtol=1e-4, atol=1e-5,
+        err_msg=f"{sampler_kind} trajectory mismatch")

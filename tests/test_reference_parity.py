@@ -360,6 +360,74 @@ def test_rl_trajectory_matches_reference_hooks(rng, fused):
 # ---------------------------------------------------------------------------
 
 
+def test_masked_adam_theta0_pin_matches_reference_hooks(rng):
+    """VERDICT r2 weak #4: ``masked(optax.adam(...), mask, theta0)`` —
+    reachable via build_optimizer(kind='adam', mask, theta0) — vs the
+    reference's verbatim hook pair (grad·mask before step, θ₀ restore
+    after, RL.py:11-34) wrapped around real ``torch.optim.Adam``.
+
+    With torch Adam the restore hook's momentum-zeroing is a no-op (Adam
+    state has no 'momentum_buffer' key), and masked grads keep exp_avg at
+    0 on masked-out coords; our nu-masking is likewise a no-op there — the
+    test pins that equivalence over 60 steps."""
+    lr = 1e-3
+    steps = 60
+
+    model = make_torch_mlp(rng)
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.Adam(model.parameters(), lr)
+
+    mask_np = {
+        name: (rng.random(p.shape) > 0.5).astype(np.float32)
+        for name, p in model.named_parameters()
+    }
+    mask_t = {k: torch.tensor(v) for k, v in mask_np.items()}
+    theta0_t = {n: p.detach().clone() for n, p in model.named_parameters()}
+
+    params = torch_to_jax_params(model)
+    theta0 = jax.tree.map(jnp.copy, params)
+    mask_j = jax.tree.map(jnp.zeros_like, params)
+    for tname, (path, transpose) in TORCH2JAX.items():
+        m = mask_np[tname].T if transpose else mask_np[tname]
+        outer, leaf = path
+        mask_j[outer][leaf] = jnp.asarray(m)
+
+    from salun.core.masked_opt import build_optimizer
+
+    tx = build_optimizer(lr, mask=mask_j, theta0=theta0, kind="adam")
+    opt_state = tx.init(params)
+    grad_fn = jax.jit(jax.grad(lambda p, x, y: jax_loss(p, x, y)))
+
+    model.train()
+    for i in range(steps):
+        x = rng.standard_normal((16, DIMS[0])).astype(np.float32)
+        y = rng.integers(0, DIMS[2], (16,)).astype(np.int64)
+
+        output = model(torch.tensor(x))
+        loss = criterion(output, torch.tensor(y))
+        optimizer.zero_grad()
+        loss.backward()
+        apply_mask_to_grads(model, mask_t)
+        optimizer.step()
+        restore_masked_params(model, mask_t, theta0_t, optimizer)
+
+        g = grad_fn(params, jnp.asarray(x), jnp.asarray(y))
+        upd, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, upd)
+
+    sd = {n: p.detach().numpy() for n, p in model.named_parameters()}
+    for tname, (path, transpose) in TORCH2JAX.items():
+        got = np.asarray(tree_get(params, path))
+        if transpose:
+            got = got.T
+        np.testing.assert_allclose(got, sd[tname], rtol=5e-4, atol=1e-5,
+                                   err_msg=f"adam param {tname}")
+        # masked-out coords pinned exactly at theta0
+        t0 = theta0_t[tname].numpy()
+        np.testing.assert_array_equal(got[mask_np[tname] == 0],
+                                      t0[mask_np[tname] == 0])
+
+
 def test_ddpm_clip_mask_adam_matches_torch(rng):
     """The production make_optimizer chain vs the reference's verbatim
     sequence — torch clip_grad_norm_(1.0), in-place grad×mask, real

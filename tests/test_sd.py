@@ -256,3 +256,49 @@ def test_with_mask_state_carried(modules, params):
     assert any(v for k, v in moved.items()
                if "attn2" in k and "to_q" not in k), \
         "unmasked attn2 leaves should move"
+
+
+def test_partial_sample_latent_stops_at_t_target(modules, params, rng):
+    """quick_sample_till_t parity (train-esd.py:240-252 / ddim.py:280-281):
+    the chain must STOP at noise level ~t_target, not denoise through it.
+    Verified against a hand-rolled DDIM pair-walk over the same grid with
+    a stubbed linear eps model."""
+    from unittest import mock
+
+    from salun.sd.ldm import SDModules
+
+    W = (rng.standard_normal((4, 4)) * 0.05).astype(np.float32)
+
+    def stub_apply_model(self, p, z_t, t, context):
+        return (jnp.einsum("bhwc,cd->bhwd", z_t, jnp.asarray(W))
+                + 0.01 * jnp.reshape(t, (-1, 1, 1, 1)).astype(jnp.float32))
+
+    T = modules.schedule.num_timesteps
+    steps = 5
+    step_size = T // steps
+    t_target = 2 * step_size  # grid point index 2
+
+    key = jax.random.PRNGKey(7)
+    ctx = jnp.zeros((2, 3, 8))
+    with mock.patch.object(SDModules, "apply_model", stub_apply_model):
+        z = modules.partial_sample_latent(
+            params, key, ctx, t_target=t_target, steps=steps, image_size=8)
+
+    # hand-rolled expectation: same RNG draw, pair-walk stopping AT the
+    # t_target grid point (transitions seq[k]→seq[k-1], none below)
+    seq = [s for s in range(0, T, step_size) if s >= t_target]
+    _, nk = jax.random.split(key)
+    want = jax.random.normal(nk, (2, 8, 8, 4))
+    acp = np.asarray(modules.schedule.alphas_cumprod)
+    for i, j in zip(reversed(seq[1:]), reversed(seq[:-1])):
+        at, an = acp[i], acp[j]
+        et = (jnp.einsum("bhwc,cd->bhwd", want, jnp.asarray(W))
+              + 0.01 * float(i))
+        x0 = (want - et * np.sqrt(1 - at)) / np.sqrt(at)
+        want = np.sqrt(an) * x0 + np.sqrt(1 - an) * et
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # z is still noisy: its std is near the marginal at t_target (≈1 for
+    # eps-matched chains), NOT the fully-denoised scale
+    assert float(jnp.std(z)) > 0.5

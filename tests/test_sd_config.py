@@ -1,0 +1,92 @@
+"""SD YAML config ingestion (VERDICT r2 item #5).
+
+The reference drives its model graph from v1-inference.yaml via
+instantiate_from_config (SD/configs/stable-diffusion/v1-inference.yaml,
+ldm/util.py:73-89); salun.sd.config maps the same YAML shape onto the
+typed dataclasses. Pins: the shipped YAML round-trips into the exact
+built-in defaults; a modified YAML changes the built model; unsupported
+graph-changing keys raise."""
+
+import copy
+import os
+
+import pytest
+import yaml
+
+from salun.sd.clip_text import CLIPTextConfig
+from salun.sd.config import load_sd_config, modules_from_config, \
+    parse_sd_config
+from salun.sd.unet import SDUNetConfig
+from salun.sd.vae import VAEConfig
+
+pytestmark = pytest.mark.quick
+
+YAML_PATH = os.path.join(os.path.dirname(__file__), os.pardir,
+                         "configs", "sd", "v1-inference.yaml")
+
+
+@pytest.fixture
+def v1():
+    with open(YAML_PATH) as f:
+        return yaml.safe_load(f)
+
+
+def test_shipped_yaml_roundtrips_to_defaults(v1):
+    cfg = parse_sd_config(v1)
+    assert cfg.unet == SDUNetConfig()
+    assert cfg.vae == VAEConfig()
+    assert cfg.clip == CLIPTextConfig()
+    assert cfg.timesteps == 1000
+    assert cfg.linear_start == 0.00085
+    assert cfg.linear_end == 0.0120
+    assert cfg.scale_factor == 0.18215
+
+
+def test_load_from_path_builds_modules():
+    mods = modules_from_config(load_sd_config(YAML_PATH))
+    assert mods.unet.cfg == SDUNetConfig()
+    assert mods.scale_factor == 0.18215
+    assert mods.schedule.num_timesteps == 1000
+
+
+def test_modified_yaml_changes_model(v1):
+    v1m = copy.deepcopy(v1)
+    p = v1m["model"]["params"]
+    p["unet_config"]["params"]["model_channels"] = 64
+    p["unet_config"]["params"]["channel_mult"] = [1, 2]
+    p["first_stage_config"]["params"]["ddconfig"]["ch"] = 32
+    p["scale_factor"] = 0.5
+    p["timesteps"] = 500
+    cfg = parse_sd_config(v1m)
+    assert cfg.unet.model_channels == 64
+    assert cfg.unet.channel_mult == (1, 2)
+    assert cfg.vae.ch == 32
+    assert cfg.vae.scale_factor == 0.5
+    mods = modules_from_config(cfg)
+    assert mods.schedule.num_timesteps == 500
+    assert mods.scale_factor == 0.5
+
+
+def test_unsupported_graph_keys_raise(v1):
+    for mutate, match in [
+        (lambda p: p["unet_config"]["params"].update(
+            use_scale_shift_norm=True), "use_scale_shift_norm"),
+        (lambda p: p["unet_config"]["params"].update(zzz_new_knob=1),
+         "unknown params"),
+        (lambda p: p["first_stage_config"]["params"]["ddconfig"].update(
+            attn_resolutions=[16]), "attn_resolutions"),
+        (lambda p: p["unet_config"].update(
+            target="my.custom.UNet"), "unsupported target"),
+    ]:
+        v1m = copy.deepcopy(v1)
+        mutate(v1m["model"]["params"])
+        with pytest.raises(ValueError, match=match):
+            parse_sd_config(v1m)
+
+
+def test_dtype_override(v1):
+    import jax.numpy as jnp
+
+    cfg = parse_sd_config(v1, dtype=jnp.bfloat16)
+    assert cfg.unet.dtype == jnp.bfloat16
+    assert cfg.vae.dtype == jnp.bfloat16

@@ -8,6 +8,12 @@ are present (zero-egress containers skip them)."""
 import numpy as np
 import pytest
 
+# Import transformers (and its torch dependency) FULLY before any test
+# monkeypatches os.path.exists — load_clip_tokenizer's HF fallback would
+# otherwise trigger the first torch import under a patched filesystem and
+# leave a broken half-initialized module in sys.modules.
+transformers = pytest.importorskip("transformers")
+
 from salun.sd.tokenizer import (
     CLIPBPETokenizer, _TOKEN_PAT, bytes_to_unicode, load_clip_tokenizer,
 )
@@ -115,3 +121,124 @@ def test_real_clip_ids_if_assets_present():
     np.testing.assert_array_equal(
         out[0, :7], [49406, 320, 1125, 539, 320, 2368, 49407])
     assert (out[0, 7:] == 49407).all()
+
+
+# ---------------------------------------------------------------------------
+# HF CLIPTokenizer parity on a true-format vocab (VERDICT r2 item #4).
+#
+# No real 49,408-token vocab exists in this zero-egress container, so a
+# CLIP-layout vocab.json + merges.txt pair is trained in-test (256 byte
+# symbols + 256 </w> symbols + multi-level merges + specials) and BOTH
+# tokenizers load it from disk: transformers.CLIPTokenizer (the class the
+# reference pipeline uses, modules.py:230-266) vs salun's engine. Ids must
+# match token-for-token, including >max_length truncation and padding.
+# ---------------------------------------------------------------------------
+
+
+def _train_clip_merges(words, n_merges):
+    """Tiny BPE trainer producing a realistic multi-level merge table."""
+    from collections import Counter
+
+    counts = Counter(words)
+    syms = {w: tuple(w[:-1]) + (w[-1] + "</w>",) for w in counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, c in counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        best = max(sorted(pairs), key=lambda p: pairs[p])
+        merges.append(best)
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+@pytest.fixture(scope="module")
+def hf_fixture(tmp_path_factory):
+    import json
+
+    corpus = ("a photo of a cat sitting on the mat the quick brown fox "
+              "jumps over the lazy dog a painting in the style of rembrandt "
+              "church truck golf ball parachute french horn english "
+              "springer cassette player chain saw tench garbage person "
+              "wearing clothes nude beautiful landscape with mountains "
+              "and rivers under blue sky 1 2 3 42 100").split()
+    merges = _train_clip_merges(corpus * 3, 160)
+
+    symbols = list(bytes_to_unicode().values())
+    tokens = (symbols + [s + "</w>" for s in symbols]
+              + ["".join(m) for m in merges]
+              + ["<|startoftext|>", "<|endoftext|>"])
+    vocab = {t: i for i, t in enumerate(tokens)}
+
+    d = tmp_path_factory.mktemp("clip_vocab")
+    with open(d / "vocab.json", "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    with open(d / "merges.txt", "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        f.writelines(" ".join(m) + "\n" for m in merges)
+
+    hf = transformers.CLIPTokenizer(vocab_file=str(d / "vocab.json"),
+                                    merges_file=str(d / "merges.txt"))
+
+    from salun.sd.tokenizer import _load_hf_dir
+
+    ours = _load_hf_dir(str(d))
+    return hf, ours
+
+
+def _hf_ids(hf, texts, max_length):
+    return hf(list(texts), truncation=True, max_length=max_length,
+              padding="max_length", return_tensors="np")["input_ids"]
+
+
+def test_hf_parity_basic_battery(hf_fixture):
+    """Prompts where the no-ftfy HF fallback (BasicTokenizer pre-split)
+    agrees with the real regex path: words, digits, isolated punctuation,
+    messy whitespace, truncation past max_length."""
+    hf, ours = hf_fixture
+    battery = [
+        "a photo of a cat",
+        "the quick brown fox jumps over the lazy dog",
+        "a painting in the style of rembrandt",
+        "chapter 7 , page 42 !",
+        "   messy    whitespace\tand\nnewlines   ",
+        "",
+        "unseen wordforms zyxw qqq",
+        " ".join(["cat dog fox"] * 40),  # >77 tokens → truncation
+    ]
+    np.testing.assert_array_equal(ours(battery, 77), _hf_ids(hf, battery, 77))
+    np.testing.assert_array_equal(ours(battery, 12), _hf_ids(hf, battery, 12))
+
+
+def test_hf_parity_regex_path_battery(hf_fixture):
+    """The reference environment has ftfy, so HF takes the regex path
+    (whitespace_clean(fix_text(text)).lower(), tokenization_clip.py).
+    Patch fix_text=identity to drive that exact path locally and cover
+    what the fallback path mangles: contractions, punctuation runs,
+    unicode accents, emoji, CJK bytes."""
+    hf, ours = hf_fixture
+    hf.fix_text = lambda s: s
+    battery = [
+        "don't stop believing",
+        "it's the cat's toy",
+        "hello!!! world??",
+        "café déjà vu",
+        "日本語のテキスト",
+        "emoji 🚀 rocket",
+        "mixed: 'll we'd i'm you're they've",
+        "UPPER Case MiXeD",
+    ]
+    np.testing.assert_array_equal(ours(battery, 77), _hf_ids(hf, battery, 77))
