@@ -2,6 +2,6 @@ from .store import (
     exists, from_state_dict, restore, restore_like, save, save_eval_results,
 )
 from .torch_import import (
-    export_mask, import_ddpm_unet, import_mask, import_resnet,
+    export_mask, import_ddpm_unet, import_mask, import_resnet, import_vgg,
     load_ddpm_states, strip_module_prefix,
 )

@@ -112,6 +112,86 @@ def import_resnet(path_or_sd, num_classes: int = 10):
     return params, stats
 
 
+def import_vgg(path_or_sd, num_classes: int = 10):
+    """torch VGG-16-BN state dict (Classification/models/VGG.py:56-107) →
+    (params, batch_stats) for salun.models.vgg.VGG.
+
+    Name translation: the torch ``features`` Sequential indices map onto
+    conv0..conv12/bn0..bn12 in encounter order; ``classifier.{0,2,4}`` →
+    fc1/fc2/fc3. fc1's kernel additionally permutes its input dims — torch
+    flattens the 2×2 avgpool output channel-major (C,H,W) while flax
+    flattens NHWC (H,W,C)."""
+    sd = path_or_sd
+    if isinstance(sd, str):
+        sd = _torch_load(sd)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = strip_module_prefix(sd)
+
+    # features.N with a 4-D weight is the k-th conv; its bn is features.N+1
+    conv_of = {}
+    k = 0
+    for name in sd:
+        if name.startswith("features.") and name.endswith(".weight"):
+            idx = int(name.split(".")[1])
+            if sd[name].ndim == 4 and idx not in conv_of:
+                conv_of[idx] = k
+                conv_of[idx + 1] = k  # the BatchNorm right after
+                k += 1
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, mod, leaf, value):
+        tree.setdefault(mod, {})[leaf] = value
+
+    for name, tensor in sd.items():
+        if name.startswith("normalize.") or name.endswith(
+                "num_batches_tracked"):
+            continue
+        v = _np(tensor)
+        parts = name.split(".")
+        if parts[0] == "features":
+            ci = conv_of[int(parts[1])]
+            leaf = parts[2]
+            if leaf == "weight":
+                if v.ndim == 4:
+                    put(params, f"conv{ci}", "kernel", v.transpose(2, 3, 1, 0))
+                else:
+                    put(params, f"bn{ci}", "scale", v)
+            elif leaf == "bias":
+                mod = f"conv{ci}" if sd[
+                    name.replace("bias", "weight")].ndim == 4 else f"bn{ci}"
+                put(params, mod, "bias", v)
+            elif leaf == "running_mean":
+                put(stats, f"bn{ci}", "mean", v)
+            elif leaf == "running_var":
+                put(stats, f"bn{ci}", "var", v)
+        elif parts[0] == "classifier":
+            if parts[1] in ("weight", "bias"):
+                # LTH head: a single Linear named 'classifier'
+                # (VGG_LTH.py:51; 1x1 avgpool → no flatten permute needed)
+                if parts[1] == "weight":
+                    put(params, "classifier", "kernel", v.T)
+                else:
+                    put(params, "classifier", "bias", v)
+                continue
+            fc = {"0": "fc1", "2": "fc2", "4": "fc3"}[parts[1]]
+            if parts[2] == "weight":
+                if fc == "fc1":
+                    # [out, C*2*2] channel-major → [out, 2*2*C] HWC-major
+                    out, cin = v.shape
+                    c = cin // 4
+                    v = v.reshape(out, c, 2, 2).transpose(0, 2, 3, 1)
+                    v = v.reshape(out, cin)
+                put(params, fc, "kernel", v.T)
+            else:
+                put(params, fc, "bias", v)
+        else:
+            raise KeyError(f"unhandled torch param {name}")
+    return params, stats
+
+
 # --------------------------------------------------------------- masks
 
 

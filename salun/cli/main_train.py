@@ -68,13 +68,15 @@ def main(argv=None):
                   for k, v in raw["curves"].items()}
         print(f"resume from {ckpt_path} at epoch {start_epoch} "
               f"(best_sa={best_sa:.2f})")
+    from salun.core.train import run_epoch_folded
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         loader.set_epoch(epoch)
-        for i, batch in enumerate(loader):
-            # per-step key = f(seed, global step): resume-invariant
-            sub = jax.random.fold_in(key, epoch * steps_per_epoch + i)
-            state, m = step(state, jax.tree.map(jnp.asarray, batch), sub)
+        # per-step key = f(seed, global step): resume-invariant; the whole
+        # epoch dispatches as one lax.scan when the dataset is in-memory
+        state, m = run_epoch_folded(step, state, loader, key,
+                                    epoch * steps_per_epoch)
         train_acc = float(m["acc"])
         val_acc = validate(model, state,
                            BatchIterator(val, args.batch_size, shuffle=False))

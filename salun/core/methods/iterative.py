@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from salun.core.train import TrainState, make_train_step
+from salun.core.train import TrainState, make_train_step, run_epoch
 from salun.data.loader import BatchIterator
 
 from .common import (
@@ -62,21 +62,17 @@ def RL(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
         step = make_train_step(model, tx, num_classes=cfg.num_classes)
         for epoch in range(cfg.unlearn_epochs):
             loader = _relabel_concat_loader(loaders, cfg, epoch)
-            for batch in loader:
-                key, sub = jax.random.split(key)
-                state, _ = step(state, jax.tree.map(jnp.asarray, batch), sub)
+            state, _, key = run_epoch(step, state, loader, key)
     else:  # cifar10 / svhn path (RL.py:109-176)
         forget_step = make_train_step(
             model, tx, random_labels=True, num_classes=cfg.num_classes
         )
         retain_step = make_train_step(model, tx, num_classes=cfg.num_classes)
         for epoch in range(cfg.unlearn_epochs):
-            for batch in loaders["forget"]:
-                key, sub = jax.random.split(key)
-                state, _ = forget_step(state, jax.tree.map(jnp.asarray, batch), sub)
-            for batch in loaders["retain"]:
-                key, sub = jax.random.split(key)
-                state, _ = retain_step(state, jax.tree.map(jnp.asarray, batch), sub)
+            state, _, key = run_epoch(forget_step, state, loaders["forget"],
+                                      key)
+            state, _, key = run_epoch(retain_step, state, loaders["retain"],
+                                      key)
     return state
 
 
@@ -109,9 +105,7 @@ def _single_loader_method(loader_name: str, loss_sign: float,
             num_classes=cfg.num_classes,
         )
         for _ in range(cfg.unlearn_epochs):
-            for batch in loader:
-                key, sub = jax.random.split(key)
-                state, _ = step(state, jax.tree.map(jnp.asarray, batch), sub)
+            state, _, key = run_epoch(step, state, loader, key)
         return state
 
     return method
@@ -134,9 +128,7 @@ def retrain(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
     state = reset_opt_state(state, tx)
     step = make_train_step(model, tx, num_classes=cfg.num_classes)
     for _ in range(cfg.unlearn_epochs):
-        for batch in loader:
-            key, sub = jax.random.split(key)
-            state, _ = step(state, jax.tree.map(jnp.asarray, batch), sub)
+        state, _, key = run_epoch(step, state, loader, key)
     return state
 
 

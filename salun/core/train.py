@@ -142,6 +142,144 @@ def make_train_step(
     return step
 
 
+_EPOCH_SCANS = None  # lazily-created WeakKeyDictionary: step fn → runner
+
+
+def _epoch_scan_for(step):
+    global _EPOCH_SCANS
+    import weakref
+
+    if _EPOCH_SCANS is None:
+        _EPOCH_SCANS = weakref.WeakKeyDictionary()
+    run = _EPOCH_SCANS.get(step)
+    if run is None:
+
+        @partial(jax.jit, donate_argnums=0)
+        def run(state, stacked, key):
+            def body(carry, batch):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, m = step(st, batch, sub)
+                return (st, k), m
+
+            (state, key), ms = jax.lax.scan(body, (state, key), stacked)
+            return state, jax.tree.map(lambda x: x[-1], ms), key
+
+        try:
+            _EPOCH_SCANS[step] = run
+        except TypeError:
+            pass
+    return run
+
+
+# Fast-path cap: stacking an epoch on device costs one host copy + HBM for
+# the whole set (CIFAR train = 153 MB — fine; ImageNet would be ~200 GB —
+# stream those). Overridable for constrained environments.
+SCAN_EPOCH_MAX_BYTES = int(
+    __import__("os").environ.get("SALUN_SCAN_EPOCH_MAX_BYTES", 2 << 30))
+
+
+def run_epoch(step, state, loader, key):
+    """Run the jitted ``step`` over one epoch of ``loader``.
+
+    TPU fast path: when the loader is an in-memory ``BatchIterator`` (all
+    batches uniform-shape by construction — final batch padded with
+    weight-0 rows) and the epoch fits the stacking cap, the whole epoch
+    executes as ONE dispatched ``lax.scan`` over device-stacked batches —
+    per-batch dispatch latency, the dominant host cost on a remote
+    backend, disappears (measured: 19.0k vs 14.6k img/s on the ResNet-18
+    RL recipe, docs/BENCHMARKS.md). The PRNG key is split once per step in
+    both paths, so the two paths consume identical randomness; numerics
+    agree to float tolerance (the scan body is a different XLA program, so
+    last-ulp reduction differences can occur and are amplified by
+    BatchNorm — tests/test_aux.py::test_run_epoch_scan_matches_loop).
+
+    Returns ``(state, last_metrics, key)``.
+    """
+    import numpy as np
+
+    from salun.data.loader import BatchIterator
+
+    scan_ok = (isinstance(loader, BatchIterator)
+               and loader.ds.data.nbytes <= SCAN_EPOCH_MAX_BYTES
+               and len(loader) >= 2)
+    if scan_ok:
+        batches = list(loader)
+        if len({b["image"].shape for b in batches}) == 1:
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+                       for k in batches[0]}
+            return _epoch_scan_for(step)(state, stacked, key)
+        # non-uniform (pad_final disabled): fall through to streaming
+        loader = batches
+
+    m = None
+    for b in loader:
+        key, sub = jax.random.split(key)
+        state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+    return state, m, key
+
+
+_EPOCH_SCANS_FOLDED = None
+
+
+def _epoch_scan_folded_for(step):
+    global _EPOCH_SCANS_FOLDED
+    import weakref
+
+    if _EPOCH_SCANS_FOLDED is None:
+        _EPOCH_SCANS_FOLDED = weakref.WeakKeyDictionary()
+    run = _EPOCH_SCANS_FOLDED.get(step)
+    if run is None:
+
+        @partial(jax.jit, donate_argnums=0)
+        def run(state, stacked, key, offset):
+            n = jax.tree.leaves(stacked)[0].shape[0]
+
+            def body(st, x):
+                batch, i = x
+                sub = jax.random.fold_in(key, offset + i)
+                st, m = step(st, batch, sub)
+                return st, m
+
+            state, ms = jax.lax.scan(
+                body, state, (stacked, jnp.arange(n, dtype=jnp.int32)))
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        try:
+            _EPOCH_SCANS_FOLDED[step] = run
+        except TypeError:
+            pass
+    return run
+
+
+def run_epoch_folded(step, state, loader, key, step_offset: int):
+    """Like :func:`run_epoch` but with the pretrain driver's
+    resume-invariant key discipline: per-step key =
+    ``fold_in(key, step_offset + i)`` (cli/main_train.py). Returns
+    ``(state, last_metrics)``."""
+    import numpy as np
+
+    from salun.data.loader import BatchIterator
+
+    scan_ok = (isinstance(loader, BatchIterator)
+               and loader.ds.data.nbytes <= SCAN_EPOCH_MAX_BYTES
+               and len(loader) >= 2)
+    if scan_ok:
+        batches = list(loader)
+        if len({b["image"].shape for b in batches}) == 1:
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+                       for k in batches[0]}
+            return _epoch_scan_folded_for(step)(
+                state, stacked, key, jnp.int32(step_offset))
+        loader = batches
+
+    m = None
+    for i, b in enumerate(loader):
+        sub = jax.random.fold_in(key, step_offset + i)
+        state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+    return state, m
+
+
 def weighted_accuracy(logits, labels, weight=None):
     pred = jnp.argmax(logits, axis=-1)
     correct = (pred == labels).astype(jnp.float32)
@@ -188,14 +326,12 @@ def train_epochs(
     step_fn=None,
     hooks=(),
 ):
-    """Generic epoch loop: iterate batches through a jitted step."""
+    """Generic epoch loop: one scanned dispatch per epoch when possible
+    (see :func:`run_epoch`), streaming otherwise."""
     step_fn = step_fn or make_train_step(model, tx)
     metrics = []
     for epoch in range(epochs):
-        for batch in loader_factory(epoch):
-            key, sub = jax.random.split(key)
-            batch = jax.tree.map(jnp.asarray, batch)
-            state, m = step_fn(state, batch, sub)
+        state, m, key = run_epoch(step_fn, state, loader_factory(epoch), key)
         metrics.append(jax.tree.map(float, m))
         for h in hooks:
             h(epoch, state, metrics[-1])

@@ -19,8 +19,10 @@ from flax import linen as nn
 from .layers import CIFAR_MEAN, CIFAR_STD, normalize_by_channel_mean_std
 
 # Configuration "D" (VGG-16), reference VGG.py cfgs (VGG.py:97-145).
+# NOTE: the reference's cfg "D" drops torchvision's FINAL "M" (a CIFAR
+# adaptation — VGG.py:117-135), leaving a 2x2 feature map at 32px input.
 CFG_D = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-         512, 512, 512, "M", 512, 512, 512, "M")
+         512, 512, 512, "M", 512, 512, 512)
 
 
 class VGG(nn.Module):
@@ -47,8 +49,11 @@ class VGG(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.Conv(int(v), (3, 3), padding=1, dtype=self.dtype,
-                            name=f"conv{conv_i}")(x)
+                # conv bias parity: VGG.py:105 builds bias=False convs,
+                # VGG_LTH.py:88 keeps the default bias=True
+                x = nn.Conv(int(v), (3, 3), padding=1,
+                            use_bias=self.lth_head,
+                            dtype=self.dtype, name=f"conv{conv_i}")(x)
                 if self.batch_norm:
                     x = norm(name=f"bn{conv_i}")(x)
                 x = nn.relu(x)
@@ -58,10 +63,23 @@ class VGG(nn.Module):
             x = jnp.mean(x, axis=(1, 2))  # adaptive avgpool (1,1)
             x = nn.Dense(self.num_classes, dtype=jnp.float32, name="classifier")(x)
         else:
-            # adaptive avgpool to 2x2 then MLP head (VGG.py:60-67)
+            # AdaptiveAvgPool2d((2,2)) then MLP head (VGG.py:60-67). True
+            # adaptive semantics: cell (i,j) averages rows
+            # [⌊i·h/2⌋, ⌈(i+1)·h/2⌉) — for CIFAR's 1×1 feature map this
+            # REPLICATES to 2×2 (a plain avg_pool would stay 1×1 and halve
+            # the fc1 width vs reference checkpoints).
             b, h, w, c = x.shape
-            x = nn.avg_pool(x, (max(h // 2, 1), max(w // 2, 1)),
-                            strides=(max(h // 2, 1), max(w // 2, 1)))
+
+            def bounds(n):
+                return [(i * n // 2, -((-(i + 1) * n) // 2))
+                        for i in range(2)]
+
+            cells = [
+                [jnp.mean(x[:, r0:r1, c0:c1, :], axis=(1, 2))
+                 for (c0, c1) in bounds(w)]
+                for (r0, r1) in bounds(h)
+            ]
+            x = jnp.stack([jnp.stack(row, axis=1) for row in cells], axis=1)
             x = x.reshape((b, -1))
             x = nn.Dense(256, dtype=jnp.float32, name="fc1")(x)
             x = nn.relu(x)

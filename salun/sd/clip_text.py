@@ -74,9 +74,9 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         c = self.cfg
-        y = nn.LayerNorm(dtype=c.dtype, name="layer_norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(c, name="self_attn")(y, mask)
-        y = nn.LayerNorm(dtype=c.dtype, name="layer_norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="layer_norm2")(x)
         x = x + CLIPMLP(c.hidden_size, c.dtype, name="mlp")(y)
         return x
 
@@ -98,7 +98,10 @@ class CLIPTextModel(nn.Module):
         mask = causal[None, None]
         for i in range(c.num_layers):
             x = CLIPLayer(c, name=f"layers_{i}")(x, mask)
-        return nn.LayerNorm(dtype=c.dtype, name="final_layer_norm")(x)
+        # eps 1e-5: HF CLIPTextConfig.layer_norm_eps (flax default is
+        # 1e-6 — a real mismatch caught by test_arch_parity)
+        return nn.LayerNorm(epsilon=1e-5, dtype=c.dtype,
+                            name="final_layer_norm")(x)
 
 
 # ------------------------------------------------------------- tokenizer

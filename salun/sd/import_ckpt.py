@@ -153,6 +153,21 @@ def import_vae_part(sd: dict, template, part: str):
     return _validate_and_build(flat, template, part)
 
 
+def import_clip_state(sd: dict, template):
+    """Bare HF ``CLIPTextModel`` state dict (keys with or without the
+    ``text_model.`` prefix) → flax CLIPTextModel params."""
+    flat: Dict[str, np.ndarray] = {}
+    for key, tensor in sd.items():
+        if key.startswith("text_model."):
+            key = key[len("text_model."):]
+        if "position_ids" in key:
+            continue
+        name, leaf = key.rsplit(".", 1)
+        _place(flat, map_clip_key(name), _np(tensor), leaf,
+               is_embedding="embedding" in name)
+    return _validate_and_build(flat, template, "clip")
+
+
 def import_compvis(sd: dict, templates: dict) -> dict:
     """Full CompVis state dict → {"unet", "vae", "clip"} params trees.
 

@@ -293,12 +293,18 @@ def _partial_denoise(modules, params, ctx, t_enc, ddim_steps, image_size,
                      guidance, ctx_0, key):
     """Denoise from T down to DDIM step t_enc (quick_sample_till_t,
     train-esd.py:240-252) — fixed-length scan with masked tail steps so the
-    traced shape is static."""
-    from salun.diffusion.sampling import _seq_pairs
+    traced shape is static.
+
+    Grid parity with the reference fork's DDIMSampler: the ldm 'uniform'
+    +1-shifted grid with the LAST entry dropped (``timesteps[:t_start]``
+    with t_start=-1, ddim.py:224) and ᾱ₀ at the boundary; the loop breaks
+    after executing grid index ``till`` (= t_enc, ddim.py:280-281), here
+    expressed as a mask on the scanned steps."""
+    from salun.diffusion.sampling import _seq_pairs, ldm_uniform_timesteps
 
     T = modules.schedule.num_timesteps
     step_size = T // ddim_steps
-    seq = list(range(0, T, step_size))
+    seq = ldm_uniform_timesteps(T, ddim_steps)[:-1]
     ts, ts_next = _seq_pairs(seq)
     n = ctx.shape[0]
     key, nk = jax.random.split(key)
@@ -306,15 +312,21 @@ def _partial_denoise(modules, params, ctx, t_enc, ddim_steps, image_size,
                                modules.vae.cfg.z_channels))
     eps_fn = modules.cfg_eps_fn(params, ctx, ctx_0, guidance)
     sched = modules.schedule
+    final_ab = jnp.float32(sched.alphas_cumprod[0])
 
     def body(carry, t_pair):
         z, k = carry
         i, j = t_pair
-        active = i >= t_enc * step_size  # stop below the target step
+        # grid value i = 1 + idx·step_size. The reference breaks AFTER
+        # executing the index with index+1 == till (ddim.py:280-281), so
+        # executed indices run down to till−1 = t_enc−1 inclusive
+        # (t_enc=0 → the full chain, with ᾱ₀ at the −1 boundary).
+        active = i >= 1 + (t_enc - 1) * step_size
         t = jnp.full((n,), i, jnp.int32)
         at = sched.alpha_bar(t).reshape(-1, 1, 1, 1)
         at_next = sched.alpha_bar(jnp.full((n,), j, jnp.int32)).reshape(
             -1, 1, 1, 1)
+        at_next = jnp.where(j < 0, final_ab, at_next)
         et = eps_fn(z, t.astype(jnp.float32))
         x0_t = (z - et * jnp.sqrt(1 - at)) / jnp.sqrt(at)
         z_next = jnp.sqrt(at_next) * x0_t + jnp.sqrt(1 - at_next) * et

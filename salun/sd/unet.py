@@ -118,8 +118,9 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        ln = lambda n: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                                    name=n)
+        # eps 1e-5 = torch nn.LayerNorm default (flax defaults to 1e-6)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    param_dtype=jnp.float32, name=n)
         x = CrossAttention(self.heads, self.dim_head, self.dim, self.dtype,
                            name="attn1")(ln("norm1")(x)) + x
         x = CrossAttention(self.heads, self.dim_head, self.dim, self.dtype,

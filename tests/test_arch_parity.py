@@ -42,8 +42,18 @@ SD_REF = "/root/reference/SD"
 
 
 def _with_ref_path(path):
-    if path not in sys.path:
-        sys.path.insert(0, path)
+    """Put ``path`` at the FRONT of sys.path and evict any previously
+    imported top-level ``models`` package that came from a different
+    reference root (DDPM and Classification both ship a ``models``
+    package — stale sys.modules entries cross-contaminate)."""
+    if path in sys.path:
+        sys.path.remove(path)
+    sys.path.insert(0, path)
+    for name, mod in list(sys.modules.items()):
+        if name == "models" or name.startswith("models."):
+            f = getattr(mod, "__file__", None) or ""
+            if not f.startswith(path):
+                del sys.modules[name]
 
 
 # ---------------------------------------------------------------------------
@@ -443,3 +453,151 @@ def test_sd_sampler_matches_reference(rng, monkeypatch, sampler_kind):
         np.asarray(got).transpose(0, 3, 1, 2), samples.numpy(),
         rtol=1e-4, atol=1e-5,
         err_msg=f"{sampler_kind} trajectory mismatch")
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder vs transformers.CLIPTextModel (the class
+# FrozenCLIPEmbedder wraps, SD/ldm/modules/encoders/modules.py:230-266)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_text_encoder_matches_hf():
+    transformers = pytest.importorskip("transformers")
+
+    from salun.sd.clip_text import CLIPTextConfig, CLIPTextModel
+    from salun.sd.import_ckpt import import_clip_state
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=120, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, hidden_act="quick_gelu")
+    tm = transformers.CLIPTextModel(hf_cfg)
+    tm.eval()
+
+    cfg = CLIPTextConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                         num_heads=4, max_length=16)
+    jm = CLIPTextModel(cfg)
+    template = jm.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 16), jnp.int32))["params"]
+    params = import_clip_state(tm.state_dict(), template)
+
+    rng = np.random.default_rng(3)
+    for n in (16, 9):  # full context + shorter sequence
+        ids = rng.integers(0, 120, (2, n)).astype(np.int32)
+        with torch.no_grad():
+            want = tm(input_ids=torch.tensor(ids).long()).last_hidden_state
+        got = jm.apply({"params": params}, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-5,
+            err_msg=f"CLIP last_hidden_state mismatch (seq {n})")
+
+
+# ---------------------------------------------------------------------------
+# Classification models vs the reference's OWN torch modules
+# (Classification/models/ResNet.py, ResNets.py, VGG.py — all have the
+# normalize layer INSIDE the model with the CIFAR stats both sides use)
+# ---------------------------------------------------------------------------
+
+CLS_REF = "/root/reference/Classification"
+
+
+def _cls_input(rng, n=2, size=32):
+    # raw [0,1] input: both sides normalize internally with CIFAR stats
+    return rng.random((n, size, size, 3)).astype(np.float32)
+
+
+def _assert_cls_match(tm, jax_model, params, stats, x, tol=1e-4):
+    tm.eval()
+    with torch.no_grad():
+        want = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    got = jax_model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=tol, atol=tol)
+
+
+def _randomize_bn_stats(tm, rng):
+    """Default running stats (mean 0, var 1) would hide mean/var swaps —
+    randomize them like a trained checkpoint's."""
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.tensor(
+                    rng.standard_normal(m.running_mean.shape) * 0.3,
+                    dtype=torch.float32))
+                m.running_var.copy_(torch.tensor(
+                    0.5 + rng.random(m.running_var.shape),
+                    dtype=torch.float32))
+
+
+@pytest.mark.parametrize("arch", ["resnet18", "resnet50"])
+def test_reference_resnet_matches(rng, arch):
+    """models/ResNet.py resnet18/resnet50 (CIFAR stem) → flax via
+    ckpt.import_resnet (resnet50 exercises the Bottleneck conv3/bn3 and
+    downsample paths)."""
+    _with_ref_path(CLS_REF)
+    import importlib
+
+    ref_resnet = importlib.import_module("models.ResNet")
+
+    from salun import ckpt
+    from salun.models import create_model
+
+    torch.manual_seed(0)
+    tm = getattr(ref_resnet, arch)(num_classes=10, imagenet=False)
+    _randomize_bn_stats(tm, rng)
+    params, stats = ckpt.import_resnet(tm.state_dict(), num_classes=10)
+    jm = create_model(arch, num_classes=10)
+    _assert_cls_match(tm, jm, params, stats, _cls_input(rng))
+
+
+def test_reference_resnet20s_matches(rng):
+    """models/ResNets.py resnet20s — option-A parameter-free padded
+    shortcuts (ResNets.py:98-109)."""
+    _with_ref_path(CLS_REF)
+    from models.ResNets import resnet20s
+
+    from salun import ckpt
+    from salun.models import create_model
+
+    torch.manual_seed(0)
+    tm = resnet20s(10)
+    _randomize_bn_stats(tm, rng)
+    params, stats = ckpt.import_resnet(tm.state_dict(), num_classes=10)
+    jm = create_model("resnet20s", num_classes=10)
+    _assert_cls_match(tm, jm, params, stats, _cls_input(rng))
+
+
+def test_reference_vgg16_bn_matches(rng):
+    """models/VGG.py vgg16_bn — features-index naming, 2x2 adaptive
+    avgpool + 3-layer MLP head (channel-major flatten handled by
+    import_vgg)."""
+    _with_ref_path(CLS_REF)
+    from models.VGG import vgg16_bn
+
+    from salun import ckpt
+    from salun.models import create_model
+
+    torch.manual_seed(0)
+    tm = vgg16_bn(num_classes=10)
+    _randomize_bn_stats(tm, rng)
+    params, stats = ckpt.import_vgg(tm.state_dict(), num_classes=10)
+    jm = create_model("vgg16_bn", num_classes=10)
+    _assert_cls_match(tm, jm, params, stats, _cls_input(rng))
+
+
+def test_reference_vgg16_bn_lth_matches(rng):
+    """models/VGG_LTH.py vgg16_bn_lth — biased convs (VGG_LTH.py:88),
+    1x1 adaptive avgpool, single-Linear head (VGG_LTH.py:50-51)."""
+    _with_ref_path(CLS_REF)
+    from models.VGG_LTH import vgg16_bn_lth
+
+    from salun import ckpt
+    from salun.models import create_model
+
+    torch.manual_seed(0)
+    tm = vgg16_bn_lth(num_classes=10)
+    _randomize_bn_stats(tm, rng)
+    params, stats = ckpt.import_vgg(tm.state_dict(), num_classes=10)
+    jm = create_model("vgg16_bn_lth", num_classes=10)
+    _assert_cls_match(tm, jm, params, stats, _cls_input(rng))

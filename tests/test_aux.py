@@ -159,3 +159,87 @@ def test_run_commands_executes_two_workers(tmp_path):
     got = {i: open(out / f"job_{i}.txt").read() for i in range(4)}
     # round-robin: jobs 0,2 on device 0; jobs 1,3 on device 1
     assert got == {0: "0", 1: "1", 2: "0", 3: "1"}
+
+
+def _tiny_trainer(rng, n=48, bs=16):
+    import jax
+    import jax.numpy as jnp
+
+    from salun.core import masked_opt
+    from salun.core.train import TrainState, make_train_step
+    from salun.data.datasets import synthetic
+    from salun.data.loader import BatchIterator
+    from salun.models import create_model
+
+    model = create_model("resnet20s", num_classes=4)
+    ds = synthetic(n=n, num_classes=4, seed=0)
+    tx = masked_opt.sgd(0.05, 0.9, 5e-4)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 32, 32, 3)), train=False))(jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, num_classes=4)
+    mk_state = lambda: TrainState.create(
+        jax.tree.map(jnp.copy, variables), tx)
+    mk_loader = lambda: BatchIterator(ds, bs, seed=3)
+    return step, mk_state, mk_loader
+
+
+def test_run_epoch_scan_matches_loop(rng):
+    """The scanned-epoch fast path consumes the same key-split sequence as
+    the python per-batch loop and matches its trajectory to float
+    tolerance (the scan body is a different XLA program — last-ulp
+    reduction differences exist and are amplified by BatchNorm, so
+    bitwise equality is not the contract; key equality is)."""
+    import jax
+    import numpy as np
+
+    from salun.core import train as T
+
+    step, mk_state, mk_loader = _tiny_trainer(rng)
+    key = jax.random.PRNGKey(5)
+
+    s_scan, m_scan, k_scan = T.run_epoch(step, mk_state(), mk_loader(), key)
+
+    # force the streaming path by dropping the cap below the dataset size
+    old = T.SCAN_EPOCH_MAX_BYTES
+    T.SCAN_EPOCH_MAX_BYTES = 0
+    try:
+        s_loop, m_loop, k_loop = T.run_epoch(step, mk_state(), mk_loader(),
+                                             key)
+    finally:
+        T.SCAN_EPOCH_MAX_BYTES = old
+
+    np.testing.assert_array_equal(np.asarray(k_scan), np.asarray(k_loop))
+    assert float(m_scan["loss"]) == pytest.approx(float(m_loop["loss"]),
+                                                  rel=2e-3)
+    for a, b in zip(jax.tree.leaves(s_scan.params),
+                    jax.tree.leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
+def test_run_epoch_folded_scan_matches_loop(rng):
+    """Same for the fold_in key discipline (pretrain driver)."""
+    import jax
+    import numpy as np
+
+    from salun.core import train as T
+
+    step, mk_state, mk_loader = _tiny_trainer(rng)
+    key = jax.random.PRNGKey(9)
+
+    s_scan, m_scan = T.run_epoch_folded(step, mk_state(), mk_loader(), key,
+                                        step_offset=7)
+    old = T.SCAN_EPOCH_MAX_BYTES
+    T.SCAN_EPOCH_MAX_BYTES = 0
+    try:
+        s_loop, m_loop = T.run_epoch_folded(step, mk_state(), mk_loader(),
+                                            key, step_offset=7)
+    finally:
+        T.SCAN_EPOCH_MAX_BYTES = old
+
+    assert float(m_scan["loss"]) == pytest.approx(float(m_loop["loss"]),
+                                                  rel=2e-3)
+    for a, b in zip(jax.tree.leaves(s_scan.params),
+                    jax.tree.leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
