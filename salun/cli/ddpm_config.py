@@ -69,6 +69,7 @@ def load_config(path: str, **overrides) -> DDPMConfigBundle:
         snapshot_freq=training.get("snapshot_freq", 1000),
         log_freq=training.get("log_freq", 100),
         cond_drop_prob=model.get("cond_drop_prob", 0.1),
+        random_flip=data.get("random_flip", True),
     )
     for k, v in overrides.items():
         if v is not None and hasattr(train, k):

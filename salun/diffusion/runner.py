@@ -57,6 +57,10 @@ class DDPMTrainConfig:
     snapshot_freq: int = 1000
     log_freq: int = 100
     cond_drop_prob: float = 0.1
+    # data.random_flip in every reference YAML (train-side loaders get
+    # RandomHorizontalFlip, DDPM/datasets/__init__.py:34-46); applied on
+    # device inside the steps here
+    random_flip: bool = True
 
 
 def make_optimizer(cfg: DDPMTrainConfig, mask=None):
@@ -76,8 +80,18 @@ def _img01(x):
     return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
 
+def random_hflip(key, x):
+    """Per-sample horizontal flip with p=0.5, on device (NHWC). Parity
+    with the reference's ``transforms.RandomHorizontalFlip`` in every
+    training-side loader when ``data.random_flip`` is true
+    (DDPM/datasets/__init__.py:34-46)."""
+    flips = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+    return jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
+
+
 def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
-                           *, grad_clip: float, thresholds=(0.5,)):
+                           *, grad_clip: float, thresholds=(0.5,),
+                           random_flip: bool = False):
     """The reference's DDPM mask-gen loop (diffusion.py:959-1039), generic
     over the eps model: per batch — antithetic t, q_sample, CFG eps,
     ``loss = (e − eps)².sum(pixels).mean(batch)``, grads clipped by global
@@ -85,7 +99,9 @@ def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
     global top-k thresholding.
 
     Batches may carry explicit ``t``/``e`` entries to replay a fixed noise
-    stream (deterministic parity tests, tests/test_reference_parity.py).
+    stream (deterministic parity tests, tests/test_reference_parity.py);
+    ``random_flip`` reproduces the train-loader RandomHorizontalFlip the
+    reference's forget loader inherits (datasets/__init__.py:34-46).
     """
     T = schedule.num_timesteps
 
@@ -100,8 +116,10 @@ def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
 
     @jax.jit
     def acc_batch(acc, batch, key):
-        kt, ke = jax.random.split(key)
+        kt, ke, kf = jax.random.split(key, 3)
         x = _img01(batch["image"])
+        if random_flip:
+            x = random_hflip(kf, x)
         n = x.shape[0]
         t = batch.get("t")
         if t is None:
@@ -179,8 +197,10 @@ class DDPMRunner:
         @partial(jax.jit, donate_argnums=0)
         def step(carry, batch, key):
             params, opt_state, shadow = carry
-            kt, ke, kl = jax.random.split(key, 3)
+            kt, ke, kl, kf = jax.random.split(key, 4)
             x = _img01(batch["image"])
+            if self.cfg.random_flip:
+                x = random_hflip(kf, x)
             n = x.shape[0]
             t = antithetic_timesteps(kt, n, T)
             e = jax.random.normal(ke, x.shape)
@@ -211,8 +231,10 @@ class DDPMRunner:
         pseudo_label = (self.cfg.label_to_forget + 1) % self.unet_cfg.n_classes
 
         def loss_fn(params, remain, forget, key):
-            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            k1, k2, k3, k4, k5, kf1, kf2 = jax.random.split(key, 7)
             remain_img = _img01(remain["image"])
+            if self.cfg.random_flip:
+                remain_img = random_hflip(kf1, remain_img)
             n_r = remain_img.shape[0]
             t_r = antithetic_timesteps(k1, n_r, T)
             e_r = jax.random.normal(k2, remain_img.shape)
@@ -222,6 +244,8 @@ class DDPMRunner:
             )
 
             forget_img = _img01(forget["image"])
+            if self.cfg.random_flip:
+                forget_img = random_hflip(kf2, forget_img)
             n_f = forget_img.shape[0]
             t_f = antithetic_timesteps(k4, n_f, T)
             e_f = jax.random.normal(k5, forget_img.shape)
@@ -275,8 +299,10 @@ class DDPMRunner:
         cfgt = self.cfg
 
         def loss_fn(params, remember, key):
-            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            k1, k2, k3, k4, k5, kf = jax.random.split(key, 6)
             x_rem = _img01(remember["image"])
+            if cfgt.random_flip:
+                x_rem = random_hflip(kf, x_rem)
             n = x_rem.shape[0]
             t = antithetic_timesteps(k1, n, T)
             x_forget01 = jax.random.uniform(k2, x_rem.shape)  # → [−1,1] inside
@@ -323,7 +349,8 @@ class DDPMRunner:
 
         return saliency_from_eps_loss(
             eps_fn, params, forget_loader, key, self.schedule,
-            grad_clip=self.cfg.grad_clip, thresholds=thresholds)
+            grad_clip=self.cfg.grad_clip, thresholds=thresholds,
+            random_flip=self.cfg.random_flip)
 
     # ------------------------------------------------ FIM
 
@@ -353,7 +380,9 @@ class DDPMRunner:
         def acc_batch(acc, total, batch, key):
             x, c = _img01(batch["image"]), batch["label"]
             n = x.shape[0]
-            kt, ke = jax.random.split(key)
+            kt, ke, kf = jax.random.split(key, 3)
+            if self.cfg.random_flip:
+                x = random_hflip(kf, x)
             ts = jax.random.randint(kt, (n, n_timestep_samples), 0, T)
             es = jax.random.normal(ke, (n_timestep_samples,) + x.shape)
 

@@ -13,7 +13,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import CIFAR_MEAN, CIFAR_STD, normalize_by_channel_mean_std
+from .layers import (CIFAR_MEAN, CIFAR_STD, TorchBatchNorm,
+                     normalize_by_channel_mean_std)
 
 
 class BasicBlockA(nn.Module):
@@ -58,7 +59,7 @@ class ResNetS(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            TorchBatchNorm, use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
         )
         if self.normalize_input:

@@ -16,7 +16,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import CIFAR_MEAN, CIFAR_STD, normalize_by_channel_mean_std
+from .layers import (CIFAR_MEAN, CIFAR_STD, TorchBatchNorm,
+                     normalize_by_channel_mean_std)
 
 # Configuration "D" (VGG-16), reference VGG.py cfgs (VGG.py:97-145).
 # NOTE: the reference's cfg "D" drops torchvision's FINAL "M" (a CIFAR
@@ -37,7 +38,7 @@ class VGG(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            TorchBatchNorm, use_running_average=not train, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
         )
         if self.normalize_input:

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 # conftest runs, so the env var alone is ignored; force the config instead.
 jax.config.update("jax_platforms", "cpu")
 
+# jax 0.9.0's XLA:CPU backend computes f32 convolutions/dots in reduced
+# (bfloat16-like) precision by default (measured: ~1.5% relative error on a
+# 3x3 conv vs a float64 oracle). The golden-parity tests compare trajectories
+# against torch at 1e-4; pin full-f32 math so test numerics are exact and
+# machine-independent.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the suite is compile-dominated on this
 # single-core host (~70% of quick-tier wall is XLA compiles of repeated
 # model graphs); caching cuts repeat runs to a fraction.

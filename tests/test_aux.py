@@ -243,3 +243,34 @@ def test_run_epoch_folded_scan_matches_loop(rng):
                     jax.tree.leaves(s_loop.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-3)
+
+
+def test_augment_matmul_matches_dynamic_slice(rng):
+    """The one-hot-matmul crop+flip (the TPU fast form) is bitwise equal
+    to the reference dynamic-slice formulation for the same key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from salun.data.loader import augment
+
+    def augment_sliced(key, image, pad=4):
+        b, h, w, c = image.shape
+        kc, kf = jax.random.split(key)
+        offs = jax.random.randint(kc, (b, 2), 0, 2 * pad + 1)
+        flips = jax.random.bernoulli(kf, 0.5, (b,))
+        padded = jnp.pad(image, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+        def crop_one(img, off):
+            return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+
+        cropped = jax.vmap(crop_one)(padded, offs)
+        return jnp.where(flips[:, None, None, None],
+                         cropped[:, :, ::-1, :], cropped)
+
+    img = jnp.asarray(rng.random((8, 32, 32, 3)).astype(np.float32))
+    for seed in (0, 1, 7):
+        key = jax.random.PRNGKey(seed)
+        np.testing.assert_array_equal(
+            np.asarray(augment(key, img)),
+            np.asarray(augment_sliced(key, img)))

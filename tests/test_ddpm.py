@@ -124,3 +124,18 @@ def test_fim_runs(runner, params):
                              jax.random.PRNGKey(8), n_timestep_samples=2)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(fim))
     assert all((np.asarray(x) >= 0).all() for x in jax.tree.leaves(fim))
+
+
+def test_random_hflip_rows_are_orig_or_mirrored(rng):
+    """data.random_flip parity (DDPM/datasets/__init__.py:34-46): each
+    sample is either untouched or exactly width-mirrored, with both
+    outcomes occurring over a batch."""
+    from salun.diffusion.runner import random_hflip
+
+    x = jnp.asarray(rng.random((32, 8, 8, 3)).astype(np.float32))
+    y = np.asarray(random_hflip(jax.random.PRNGKey(0), x))
+    xn = np.asarray(x)
+    same = [np.array_equal(y[i], xn[i]) for i in range(32)]
+    mirrored = [np.array_equal(y[i], xn[i, :, ::-1, :]) for i in range(32)]
+    assert all(s or m for s, m in zip(same, mirrored))
+    assert any(same) and any(mirrored)
