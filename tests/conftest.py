@@ -61,6 +61,7 @@ _SLOW = {
     "test_generate_mask_half",
     "test_ddpm_train_mode",
     "test_generate_mask_cli_synthetic",
+    "test_full_salun_pipeline_chain",
     "test_inception_v3_shapes",
     "test_main_random_rl_synthetic",
     "test_masked_train_step_sharding_invariance",

@@ -106,6 +106,37 @@ def test_prefetch_abandoned_consumer_stops_producer():
     assert len(produced) < 1000, "producer ran to completion after abandon"
 
 
+def test_parallel_decode_multi_worker_order_and_fanout():
+    """parallel_decode with N workers must preserve record order while
+    actually dispatching across multiple threads (the ImageNet-scale feed
+    path claims parallel decode — prove the fan-out, not just the API)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from salun.data.pipeline import parallel_decode
+
+    seen_threads = set()
+    gate = threading.Barrier(4, timeout=10)
+
+    def decode(rec):
+        seen_threads.add(threading.get_ident())
+        # all 4 records must be in flight simultaneously to pass the
+        # barrier — serial execution would deadlock (barrier timeout)
+        gate.wait()
+        return np.full((2, 2), rec, np.uint8)
+
+    dec = parallel_decode(decode, workers=4)
+    try:
+        out = dec.map([7, 1, 5, 3])
+    finally:
+        dec.close()
+    assert out.shape == (4, 2, 2)
+    assert [int(o[0, 0]) for o in out] == [7, 1, 5, 3]
+    assert len(seen_threads) == 4
+
+
 def test_npz_fallback_path_with_suffix(tmp_path, monkeypatch):
     """save/restore agree even when the caller's path already ends in
     .npz (np.savez(str) would silently skip appending the suffix)."""

@@ -22,6 +22,45 @@ def test_main_random_rl_synthetic(tmp_path):
     assert "retain" in loaded
 
 
+def test_full_salun_pipeline_chain(tmp_path):
+    """Classification/README.md steps 1-3 as a real artifact handoff
+    between the three drivers: pretrain → generate_mask consuming the
+    best-SA checkpoint → SalUn-RL consuming that checkpoint AND the
+    saved with_0.5 mask. Exercises the on-disk formats and the
+    --model_path/--mask_path loading paths a reference user migrates
+    through (not just each driver in isolation)."""
+    from salun.cli.generate_mask import main as mask_main
+    from salun.cli.main_random import main as unlearn_main
+    from salun.cli.main_train import main as train_main
+
+    pre, masks, un = (str(tmp_path / d) for d in ("pre", "mask", "unlearn"))
+    train_main([
+        "--dataset", "synthetic", "--arch", "resnet20s", "--epochs", "1",
+        "--batch_size", "64", "--save_dir", pre,
+    ])
+    model_path = os.path.join(pre, "model_SA_best")
+    assert os.path.exists(os.path.join(pre, "train_curves.json"))
+
+    mask_main([
+        "--dataset", "synthetic", "--arch", "resnet20s",
+        "--batch_size", "64", "--class_to_replace", "0",
+        "--model_path", model_path, "--save_dir", masks,
+    ])
+    mask_path = os.path.join(masks, "with_0.5")
+
+    results = unlearn_main([
+        "--dataset", "synthetic", "--arch", "resnet20s",
+        "--unlearn", "RL", "--unlearn_lr", "0.01", "--unlearn_epochs", "1",
+        "--batch_size", "64", "--decreasing_lr", "2",
+        "--class_to_replace", "0", "--model_path", model_path,
+        "--mask_path", mask_path, "--save_dir", un,
+    ])
+    for k in ("retain", "forget", "val", "test", "UA",
+              "SVC_MIA_forget_efficacy"):
+        assert k in results, k
+    assert os.path.exists(os.path.join(un, "RL_eval_result.json"))
+
+
 def test_generate_mask_cli_synthetic(tmp_path):
     from salun.cli.generate_mask import main
 
