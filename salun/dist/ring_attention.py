@@ -38,11 +38,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 def _ring_body(q, k, v, scale: float, axis_name: str, p: int):
     """Local shard program: [B, n/p, C] blocks in, [B, n/p, C] out."""
     B, nq, C = q.shape
-    # pvary: the running state must carry the same varying-manual-axis
-    # type as the per-device q block or the scan carry types mismatch
-    m = jax.lax.pvary(jnp.full((B, nq), -jnp.inf, jnp.float32), axis_name)
-    l = jax.lax.pvary(jnp.zeros((B, nq), jnp.float32), axis_name)
-    acc = jax.lax.pvary(jnp.zeros((B, nq, C), jnp.float32), axis_name)
+    # the running state must carry the same varying-manual-axis type as
+    # the per-device q block or the scan carry types mismatch
+    def _vary(x):
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)
+
+    m = _vary(jnp.full((B, nq), -jnp.inf, jnp.float32))
+    l = _vary(jnp.zeros((B, nq), jnp.float32))
+    acc = _vary(jnp.zeros((B, nq, C), jnp.float32))
     perm = [(j, (j + 1) % p) for j in range(p)]
 
     def step(carry, _):
