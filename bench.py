@@ -565,6 +565,10 @@ def main():
         bench_resnet_rl()
     except Exception as e:  # secondary metrics must never kill the headline
         _log({"secondary_bench_error": repr(e)})
+    if headline is None:  # both benches failed: controlled error line
+        headline = {"metric": "salun_maskgen_unlearn_chain_wallclock",
+                    "value": 0, "unit": "s", "vs_baseline": 0.0,
+                    "error": "all benches failed; see stderr"}
     headline.pop("_flops", None)
     print(json.dumps(headline))
 

@@ -189,6 +189,12 @@ def import_vgg(path_or_sd, num_classes: int = 10):
                 put(params, fc, "bias", v)
         else:
             raise KeyError(f"unhandled torch param {name}")
+    head = params.get("fc3") or params.get("classifier")
+    got_classes = head["kernel"].shape[1]
+    if got_classes != num_classes:
+        raise ValueError(
+            f"checkpoint head has {got_classes} classes, expected "
+            f"{num_classes}")
     return params, stats
 
 

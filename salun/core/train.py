@@ -179,6 +179,31 @@ SCAN_EPOCH_MAX_BYTES = int(
     __import__("os").environ.get("SALUN_SCAN_EPOCH_MAX_BYTES", 2 << 30))
 
 
+def _stack_epoch(loader):
+    """The scan fast-path guard shared by :func:`run_epoch` /
+    :func:`run_epoch_folded`: returns ``(stacked, loader)`` where
+    ``stacked`` is the device-stacked epoch dict when the fast path
+    applies (in-memory ``BatchIterator``, uniform shapes — final batch
+    padded with weight-0 rows — and under the stacking cap) and ``None``
+    otherwise; ``loader`` comes back materialized if it was consumed."""
+    import numpy as np
+
+    from salun.data.loader import BatchIterator
+
+    scan_ok = (isinstance(loader, BatchIterator)
+               and loader.ds.data.nbytes <= SCAN_EPOCH_MAX_BYTES
+               and len(loader) >= 2)
+    if not scan_ok:
+        return None, loader
+    batches = list(loader)
+    if len({b["image"].shape for b in batches}) != 1:
+        # non-uniform (pad_final disabled): stream the materialized list
+        return None, batches
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+               for k in batches[0]}
+    return stacked, batches
+
+
 def run_epoch(step, state, loader, key):
     """Run the jitted ``step`` over one epoch of ``loader``.
 
@@ -196,21 +221,9 @@ def run_epoch(step, state, loader, key):
 
     Returns ``(state, last_metrics, key)``.
     """
-    import numpy as np
-
-    from salun.data.loader import BatchIterator
-
-    scan_ok = (isinstance(loader, BatchIterator)
-               and loader.ds.data.nbytes <= SCAN_EPOCH_MAX_BYTES
-               and len(loader) >= 2)
-    if scan_ok:
-        batches = list(loader)
-        if len({b["image"].shape for b in batches}) == 1:
-            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
-                       for k in batches[0]}
-            return _epoch_scan_for(step)(state, stacked, key)
-        # non-uniform (pad_final disabled): fall through to streaming
-        loader = batches
+    stacked, loader = _stack_epoch(loader)
+    if stacked is not None:
+        return _epoch_scan_for(step)(state, stacked, key)
 
     m = None
     for b in loader:
@@ -257,21 +270,10 @@ def run_epoch_folded(step, state, loader, key, step_offset: int):
     resume-invariant key discipline: per-step key =
     ``fold_in(key, step_offset + i)`` (cli/main_train.py). Returns
     ``(state, last_metrics)``."""
-    import numpy as np
-
-    from salun.data.loader import BatchIterator
-
-    scan_ok = (isinstance(loader, BatchIterator)
-               and loader.ds.data.nbytes <= SCAN_EPOCH_MAX_BYTES
-               and len(loader) >= 2)
-    if scan_ok:
-        batches = list(loader)
-        if len({b["image"].shape for b in batches}) == 1:
-            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
-                       for k in batches[0]}
-            return _epoch_scan_folded_for(step)(
-                state, stacked, key, jnp.int32(step_offset))
-        loader = batches
+    stacked, loader = _stack_epoch(loader)
+    if stacked is not None:
+        return _epoch_scan_folded_for(step)(
+            state, stacked, key, jnp.int32(step_offset))
 
     m = None
     for i, b in enumerate(loader):

@@ -129,8 +129,14 @@ def augment(key: jax.Array, image: jnp.ndarray, pad: int = 4) -> jnp.ndarray:
     cols = jnp.where(flips[:, None], cols_rev, cols_fwd)
     C = jax.nn.one_hot(cols, wp, dtype=image.dtype)
 
-    y = jnp.einsum("nip,npqc->niqc", R, padded)
-    return jnp.einsum("njq,niqc->nijc", C, y)
+    # precision HIGHEST: with the default TPU matmul precision the f32
+    # image operand would be truncated to bf16 inside the MXU, breaking
+    # the bitwise-equality guarantee for fp32 recipes (the selector is
+    # exact either way — each output element sums exactly one nonzero
+    # product). For bf16 inputs this is the native path already.
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("nip,npqc->niqc", R, padded, precision=hi)
+    return jnp.einsum("njq,niqc->nijc", C, y, precision=hi)
 
 
 def device_batches(it, sharding: Optional[object] = None):

@@ -34,7 +34,7 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
-    norm: ModuleDef = nn.BatchNorm
+    norm: ModuleDef = TorchBatchNorm
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,7 +64,7 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     filters: int
     stride: int = 1
-    norm: ModuleDef = nn.BatchNorm
+    norm: ModuleDef = TorchBatchNorm
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 

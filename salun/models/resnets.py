@@ -22,7 +22,7 @@ class BasicBlockA(nn.Module):
 
     filters: int
     stride: int = 1
-    norm: object = nn.BatchNorm
+    norm: object = TorchBatchNorm
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -121,7 +121,18 @@ def _unet_from_params(p: dict, dtype) -> SDUNetConfig:
 
 
 def _vae_from_params(p: dict, scale_factor: float, dtype) -> VAEConfig:
+    unknown = set(p) - {"embed_dim", "ddconfig", "monitor", "lossconfig",
+                        "ckpt_path", "image_key"}
+    if unknown:
+        raise ValueError(
+            f"first_stage_config: unknown params {sorted(unknown)}")
     dd = p.get("ddconfig", {})
+    dd_unknown = set(dd) - {
+        "double_z", "z_channels", "resolution", "in_channels", "out_ch",
+        "ch", "ch_mult", "num_res_blocks", "attn_resolutions", "dropout"}
+    if dd_unknown:
+        raise ValueError(
+            f"first_stage_config.ddconfig: unknown keys {sorted(dd_unknown)}")
     if not dd.get("double_z", True):
         raise ValueError("first_stage_config: double_z=false unsupported "
                          "(KL autoencoder needs mean+logvar moments)")
@@ -130,6 +141,9 @@ def _vae_from_params(p: dict, scale_factor: float, dtype) -> VAEConfig:
             "first_stage_config: non-empty attn_resolutions unsupported "
             "(sd-v1 uses attention only in the VAE mid block, which this "
             "port implements; per-resolution attention is not built)")
+    if float(dd.get("dropout", 0.0)) != 0.0:
+        raise ValueError("first_stage_config: nonzero VAE dropout "
+                         "unsupported (sd-v1 uses 0.0)")
     kw = dict(
         ch=int(dd.get("ch", 128)),
         ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
@@ -145,7 +159,22 @@ def _vae_from_params(p: dict, scale_factor: float, dtype) -> VAEConfig:
     return VAEConfig(**kw)
 
 
+_CLIP_VITL = "openai/clip-vit-large-patch14"
+
+
 def _clip_from_params(p: dict, dtype) -> CLIPTextConfig:
+    unknown = set(p) - {"version", "device", "max_length"}
+    if unknown:
+        raise ValueError(
+            f"cond_stage_config: unknown params {sorted(unknown)}")
+    version = p.get("version", _CLIP_VITL)
+    if version != _CLIP_VITL:
+        # FrozenCLIPEmbedder's `version` selects the text-encoder
+        # ARCHITECTURE (modules.py:230-266); only ViT-L/14 (the sd-v1
+        # encoder, whose dims CLIPTextConfig defaults encode) is built.
+        raise ValueError(
+            f"cond_stage_config: version={version!r} unsupported (this "
+            f"port implements {_CLIP_VITL!r})")
     kw = {}
     if "max_length" in p:
         kw["max_length"] = int(p["max_length"])

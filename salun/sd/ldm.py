@@ -166,8 +166,14 @@ class SDModules:
 
         T = self.schedule.num_timesteps
         # ldm 'uniform' discretization: +1-shifted grid, ᾱ₀ at the boundary
-        # (ddim.py make_schedule / util.py make_ddim_timesteps)
+        # (ddim.py make_schedule / util.py make_ddim_timesteps). The fork's
+        # DDIMSampler additionally drops the LAST grid entry
+        # (timesteps[:t_start] with t_start=-1, ddim.py:224); PLMSSampler
+        # has no t_start and walks the full grid (plms.py:190-216) —
+        # tests/test_arch_parity.py::test_sd_sampler_matches_reference.
         seq = ldm_uniform_timesteps(T, steps)
+        if sampler == "ddim":
+            seq = seq[:-1]
         final_ab = float(self.schedule.alphas_cumprod[0])
         key, nk = jax.random.split(key)
         z = jax.random.normal(
@@ -196,19 +202,24 @@ class SDModules:
         ddim_sampling breaks when index+1 == till, ddim.py:280-281, so the
         chain STOPS with z still at noise level ≈ t_target). The last
         executed transition lands on the grid point at/above ``t_target``;
-        the remaining steps never run."""
+        the remaining steps never run.
+
+        Grid parity with the fork's DDIMSampler (same as
+        trainers._partial_denoise): the ldm 'uniform' +1-shifted grid with
+        the LAST entry dropped (``timesteps[:t_start]``, t_start=-1,
+        ddim.py:224)."""
+        from salun.diffusion.sampling import ldm_uniform_timesteps
+
         T = self.schedule.num_timesteps
-        step_size = T // steps
-        seq = [s for s in range(0, T, step_size) if s >= t_target]
-        if len(seq) < 2:   # nothing above the target: return pure noise
-            n = ctx.shape[0]
-            return jax.random.normal(
-                key, (n, image_size, image_size, self.vae.cfg.z_channels))
+        seq = [s for s in ldm_uniform_timesteps(T, steps)[:-1]
+               if s >= t_target]
         n = ctx.shape[0]
         key, nk = jax.random.split(key)
         z = jax.random.normal(
             nk, (n, image_size, image_size, self.vae.cfg.z_channels)
         )
+        if len(seq) < 2:   # nothing above the target: pure noise
+            return z
         if guidance and uncond_ctx is not None:
             eps_fn = self.cfg_eps_fn(params, ctx, uncond_ctx, guidance)
         else:

@@ -284,9 +284,12 @@ def test_partial_sample_latent_stops_at_t_target(modules, params, rng):
         z = modules.partial_sample_latent(
             params, key, ctx, t_target=t_target, steps=steps, image_size=8)
 
-    # hand-rolled expectation: same RNG draw, pair-walk stopping AT the
-    # t_target grid point (transitions seq[k]→seq[k-1], none below)
-    seq = [s for s in range(0, T, step_size) if s >= t_target]
+    # hand-rolled expectation: same RNG draw, pair-walk over the fork's
+    # DDIM grid (ldm +1-shifted, last entry dropped) stopping AT the
+    # lowest grid point >= t_target (transitions seq[k]→seq[k-1])
+    from salun.diffusion.sampling import ldm_uniform_timesteps
+
+    seq = [s for s in ldm_uniform_timesteps(T, steps)[:-1] if s >= t_target]
     _, nk = jax.random.split(key)
     want = jax.random.normal(nk, (2, 8, 8, 4))
     acp = np.asarray(modules.schedule.alphas_cumprod)

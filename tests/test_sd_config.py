@@ -77,6 +77,14 @@ def test_unsupported_graph_keys_raise(v1):
             attn_resolutions=[16]), "attn_resolutions"),
         (lambda p: p["unet_config"].update(
             target="my.custom.UNet"), "unsupported target"),
+        (lambda p: p["first_stage_config"]["params"]["ddconfig"].update(
+            tanh_out=True), "unknown keys"),
+        (lambda p: p["first_stage_config"]["params"].update(
+            colorize_nlabels=3), "unknown params"),
+        (lambda p: p["cond_stage_config"].setdefault("params", {}).update(
+            version="openai/clip-vit-base-patch32"), "version"),
+        (lambda p: p["cond_stage_config"].setdefault("params", {}).update(
+            freeze=True), "unknown params"),
     ]:
         v1m = copy.deepcopy(v1)
         mutate(v1m["model"]["params"])
