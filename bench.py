@@ -277,17 +277,26 @@ def bench_maskgen():
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
 
     rng = np.random.RandomState(0)
+    n_batches = (n_forget + bs - 1) // bs
+    aug_keys = jax.random.split(jax.random.PRNGKey(1), n_batches)
     batches = [
         {"image": rng.randint(0, 255, (bs, 32, 32, 3), np.uint8),
-         "label": rng.randint(0, 10, (bs,), np.int32)}
-        for _ in range((n_forget + bs - 1) // bs)
+         "label": rng.randint(0, 10, (bs,), np.int32),
+         "aug_key": aug_keys[i]}
+        for i in range(n_batches)
     ]
 
     def grad_fn(p, batch):
+        # mirrors cli/generate_mask.py::save_gradient_ratio: the reference
+        # forget loader inherits the train transform, so saliency is
+        # accumulated over augmented images
+        from salun.data.loader import augment
+
         def loss(p):
+            img = augment(batch["aug_key"],
+                          batch["image"].astype(jnp.float32) / 255.0)
             out = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                batch["image"].astype(jnp.float32) / 255.0, train=False)
+                {"params": p, "batch_stats": batch_stats}, img, train=False)
             return -cross_entropy(out, batch["label"])
         return jax.grad(loss)(p)
 

@@ -22,25 +22,40 @@ from salun.core import (accumulate_saliency, accumulate_saliency_scanned,
                         generate_masks)
 from salun.core.mask import DEFAULT_THRESHOLDS
 from salun.core.train import cross_entropy
-from salun.data.loader import to_float
+from salun.data.loader import augment, to_float
 from salun.utils.rng import seed_all
 
 
 def save_gradient_ratio(loaders, model, params, batch_stats, args):
     forget_loader = loaders["forget"]
+    # Parity: the reference's forget loader inherits the marked TRAIN
+    # dataset's transform — RandomCrop(pad 4) + RandomHorizontalFlip
+    # (dataset.py:24-31) — so saliency is accumulated over augmented
+    # images (model.eval(), generate_mask.py:30-44). ImageNet archs use a
+    # different transform stack and stream separately; skip there.
+    use_augment = not getattr(args, "no_aug", False) \
+        and not getattr(args, "imagenet_arch", False)
 
     def grad_fn(params, batch):
         def loss(p):
             variables = {"params": p}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            out = model.apply(variables, to_float(batch["image"]), train=False)
+            img = to_float(batch["image"])
+            if "aug_key" in batch:
+                img = augment(batch["aug_key"], img)
+            out = model.apply(variables, img, train=False)
             # loss = −CE (generate_mask.py:36)
             return -cross_entropy(out, batch["label"], batch.get("weight"))
 
         return jax.grad(loss)(params)
 
     batches = [b for b in forget_loader]
+    if use_augment:
+        keys = jax.random.split(jax.random.PRNGKey(args.seed + 1),
+                                len(batches))
+        for b, k in zip(batches, keys):
+            b["aug_key"] = k
     same_shape = len({b["image"].shape for b in batches}) == 1
     if same_shape and len(batches) > 1:
         # fast path: the whole forget epoch as ONE dispatched lax.scan
