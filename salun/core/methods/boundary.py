@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from salun.core.train import (
     TrainState, cross_entropy, make_train_step, to_float, weighted_accuracy,
 )
+from salun.data.loader import augment
 
 from .common import (
     UnlearnConfig, make_unlearn_optimizer, reset_opt_state, snapshot_params,
@@ -61,15 +62,22 @@ def boundary_shrink(loaders, model, state: TrainState, cfg: UnlearnConfig,
         x_adv = _discretize(jnp.clip(img + jnp.sign(g) * FGSM_BOUND, 0.0, 1.0))
         return jnp.argmax(model.apply(variables, x_adv, train=False), axis=-1)
 
+    # The reference's forget loader carries the train transform (random
+    # crop+flip, dataset.py:24-31), and the SAME augmented tensor feeds
+    # both the FGSM label generation and the train step — so augment once
+    # here and keep the step's own augmentation off.
+    do_aug = not cfg.imagenet_arch
     step = make_train_step(model, tx, use_augment=False,
                            num_classes=cfg.num_classes)
     for _ in range(cfg.unlearn_epochs):
         for batch in loader:
-            key, sub = jax.random.split(key)
+            key, ka, sub = jax.random.split(key, 3)
             batch = jax.tree.map(jnp.asarray, batch)
             img = to_float(batch["image"])
+            if do_aug:
+                img = augment(ka, img)
             labels = adv_labels(img)
-            batch = dict(batch, label=labels.astype(jnp.int32))
+            batch = dict(batch, image=img, label=labels.astype(jnp.int32))
             state, _ = step(state, batch, sub)
     return state
 
@@ -126,7 +134,10 @@ def boundary_expanding(loaders, model, state: TrainState, cfg: UnlearnConfig,
     loader = loaders["forget"]
     tx = make_unlearn_optimizer(cfg, len(loader), wide_mask, theta0)
     wide_state = reset_opt_state(wide_state, tx)
-    step = make_train_step(wide_model, tx, use_augment=False,
+    # reference parity: the forget loader augments (train transform);
+    # the step's in-graph crop+flip reproduces that per batch draw
+    step = make_train_step(wide_model, tx,
+                           use_augment=not cfg.imagenet_arch,
                            num_classes=cfg.num_classes + 1)
     shadow = cfg.num_classes  # push forget samples here (boundary_ex.py:95-98)
     for _ in range(cfg.unlearn_epochs):

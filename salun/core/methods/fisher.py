@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from salun.core.train import TrainState
-from salun.data.loader import to_float
+from salun.data.loader import augment, to_float
 
 from .common import UnlearnConfig
 
@@ -39,13 +39,20 @@ def _per_sample_logp_grads(model, params, batch_stats, img, label):
     return jax.vmap(jax.grad(one), in_axes=(None, 0, 0))(params, img, label)
 
 
-def fisher_information(model, state: TrainState, loader):
-    """Diagonal FIM (fisher.py:8-33): mean over samples of (g+eps)^2."""
+def fisher_information(model, state: TrainState, loader, aug_key=None):
+    """Diagonal FIM (fisher.py:8-33): mean over samples of (g+eps)^2.
+
+    ``aug_key``: when given, each batch is crop+flip augmented on device —
+    the reference's retain loader carries the marked train dataset's
+    transform (dataset.py:24-31), so its FIM is estimated over augmented
+    samples (model.eval)."""
     eps = 1e-8
 
     @jax.jit
     def acc_batch(acc, total, batch):
         img = to_float(batch["image"])
+        if "aug_key" in batch:
+            img = augment(batch["aug_key"], img)
         g = _per_sample_logp_grads(
             model, state.params, state.batch_stats, img, batch["label"]
         )
@@ -63,14 +70,20 @@ def fisher_information(model, state: TrainState, loader):
     acc = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), state.params)
     total = jnp.zeros((), jnp.float32)
     for batch in loader:
-        acc, total = acc_batch(acc, total, jax.tree.map(jnp.asarray, batch))
+        batch = jax.tree.map(jnp.asarray, batch)
+        if aug_key is not None:
+            aug_key, k = jax.random.split(aug_key)
+            batch = dict(batch, aug_key=k)
+        acc, total = acc_batch(acc, total, batch)
     return jax.tree.map(lambda a: a / total, acc)
 
 
 def fisher(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
            key=None):
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-    fim = fisher_information(model, state, loaders["retain"])
+    key, kf = jax.random.split(key)
+    fim = fisher_information(model, state, loaders["retain"],
+                             aug_key=None if cfg.imagenet_arch else kf)
 
     def add_noise(path, p, f, k):
         sigma = jnp.clip(jnp.sqrt(cfg.alpha / f), max=1e-3)
@@ -126,6 +139,8 @@ def fisher_new(loaders, model, state: TrainState, cfg: UnlearnConfig,
     @jax.jit
     def acc_batch(acc, batch):
         img = to_float(batch["image"])
+        if "aug_key" in batch:
+            img = augment(batch["aug_key"], img)
         sq = _class_weighted_sq_grads(
             model, state.params, state.batch_stats, img, cfg.num_classes
         )
@@ -133,8 +148,13 @@ def fisher_new(loaders, model, state: TrainState, cfg: UnlearnConfig,
 
     acc = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), state.params)
     n_batches = 0
+    key, ka = jax.random.split(key)
     for batch in loader:
-        acc = acc_batch(acc, jax.tree.map(jnp.asarray, batch))
+        batch = jax.tree.map(jnp.asarray, batch)
+        if not cfg.imagenet_arch:
+            ka, k = jax.random.split(ka)
+            batch = dict(batch, aug_key=k)
+        acc = acc_batch(acc, batch)
         n_batches += 1
     grad2 = jax.tree.map(lambda a: a / max(n_batches, 1), acc)
 

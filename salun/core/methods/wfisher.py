@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from salun.core.train import TrainState, cross_entropy
-from salun.data.loader import to_float
+from salun.data.loader import augment, to_float
 
 from .common import UnlearnConfig
 
@@ -30,6 +30,11 @@ def _make_flat_grad(model, batch_stats, unravel):
     @jax.jit
     def flat_grad(params_flat, batch):
         img = to_float(batch["image"])
+        if "aug_key" in batch:
+            # reference parity: every Wfisher gradient stream reads the
+            # marked train dataset through its train transform
+            # (random crop+flip, dataset.py:24-31)
+            img = augment(batch["aug_key"], img)
 
         def loss_fn(pf):
             params = unravel(pf)
@@ -44,11 +49,14 @@ def _make_flat_grad(model, batch_stats, unravel):
     return flat_grad
 
 
-def _sum_weighted_grads(flat_grad, params_flat, loader):
+def _sum_weighted_grads(flat_grad, params_flat, loader, aug_key=None):
     total = 0.0
     acc = jnp.zeros_like(params_flat)
     for batch in loader:
         batch = jax.tree.map(jnp.asarray, batch)
+        if aug_key is not None:
+            aug_key, k = jax.random.split(aug_key)
+            batch = dict(batch, aug_key=k)
         n = float(batch["weight"].sum())
         acc = acc + flat_grad(params_flat, batch) * n
         total += n
@@ -57,12 +65,19 @@ def _sum_weighted_grads(flat_grad, params_flat, loader):
 
 def Wfisher(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
             key=None):
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     params_flat, unravel = ravel_pytree(state.params)
     params_flat = params_flat.astype(jnp.float32)
     flat_grad = _make_flat_grad(model, state.batch_stats, unravel)
 
-    forget_sum, n_f = _sum_weighted_grads(flat_grad, params_flat, loaders["forget"])
-    retain_sum, n_r = _sum_weighted_grads(flat_grad, params_flat, loaders["retain"])
+    do_aug = not cfg.imagenet_arch
+    key, kf, kr, ks = jax.random.split(key, 4)
+    forget_sum, n_f = _sum_weighted_grads(
+        flat_grad, params_flat, loaders["forget"],
+        aug_key=kf if do_aug else None)
+    retain_sum, n_r = _sum_weighted_grads(
+        flat_grad, params_flat, loaders["retain"],
+        aug_key=kr if do_aug else None)
 
     retain_grad = retain_sum * (n_f / ((n_f + n_r) * n_r))
     forget_grad = forget_sum / (n_f + n_r)
@@ -94,6 +109,9 @@ def Wfisher(loaders, model, state: TrainState, cfg: UnlearnConfig, mask=None,
             "label": jnp.asarray(ds.targets[i : i + 1].astype("int32")),
             "weight": jnp.ones((1,), jnp.float32),
         }
+        if do_aug:
+            ks, k1 = jax.random.split(ks)
+            batch["aug_key"] = k1
         g = flat_grad(params_flat, batch)
         (k_vec, o_vec, first), _ = wf_step((k_vec, o_vec, first), g)
         count += 1
