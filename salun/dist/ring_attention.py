@@ -63,8 +63,12 @@ def _ring_body(q, k, v, scale: float, axis_name: str, p: int):
         v = jax.lax.ppermute(v, axis_name, perm)
         return (m_new, l, acc, k, v), None
 
+    # remat: without it the backward saves each step's [B, nq, nk] logits
+    # as scan residuals — O(N²/p) per device, exactly the buffer ring
+    # attention exists to avoid. Recompute them in the backward instead
+    # (the flash-kernel tradeoff).
     (m, l, acc, k, v), _ = jax.lax.scan(
-        step, (m, l, acc, k, v), None, length=p)
+        jax.checkpoint(step), (m, l, acc, k, v), None, length=p)
     return (acc / l[..., None]).astype(q.dtype)
 
 
