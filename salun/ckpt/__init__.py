@@ -1,5 +1,6 @@
 from .store import (
-    exists, from_state_dict, restore, restore_like, save, save_eval_results,
+    exists, from_state_dict, restore, restore_like, restore_sharded, save,
+    save_eval_results, save_sharded,
 )
 from .torch_import import (
     export_mask, import_ddpm_unet, import_mask, import_resnet, import_vgg,
