@@ -52,7 +52,7 @@ def train_with_rewind(model, state: TrainState, tx, loader, epochs: int,
 def omp_prune(model, state: TrainState, tx, loader, *, rate: float,
               epochs: int, rewind_epoch: int, key,
               score: str = "l1", input_shape=(1, 32, 32, 3),
-              num_classes: int = 10):
+              num_classes: int = 10, synflow_iterations: int = 100):
     """One-shot magnitude pruning (pruner/omp.py): train → global prune at
     ``rate`` → rewind weights → return (state_at_rewind, prune_mask)."""
     state, rewind = train_with_rewind(model, state, tx, loader, epochs,
@@ -64,8 +64,9 @@ def omp_prune(model, state: TrainState, tx, loader, *, rate: float,
         key, pk = jax.random.split(key)
         mask = pruner.global_random_prune(state.params, rate, pk)
     elif score == "synflow":
-        scores = pruner.synflow_scores(model, state.params, input_shape)
-        mask = pruner.prune_by_scores(state.params, scores, rate)
+        # the reference's iterative-100 schedule (utils.py:304-316)
+        mask = pruner.synflow_prune(model, state.params, rate, input_shape,
+                                    iterations=synflow_iterations)
     else:
         raise ValueError(score)
     state = state.replace(params=rewind, opt_state=tx.init(rewind))

@@ -36,13 +36,33 @@ def apply_prune_mask(params, mask):
     return jax.tree.map(lambda p, m: p * m.astype(p.dtype), params, mask)
 
 
-def _prune_conv_by_scores(params, scores_fn, px: float):
-    """Shared core: build per-conv-leaf scores, keep global top (1-px)."""
+def _prune_conv_by_scores(params, scores_fn, px: float, mask=None):
+    """Shared core: prune the globally lowest-scored px fraction of the
+    REMAINING (unpruned) conv-kernel weights; previously-pruned weights
+    stay pruned and do not consume the prune budget.
+
+    This is torch's iterative-prune convention exactly
+    (``prune.global_unstructured`` on an already-pruned module: the
+    PruningContainer interprets ``amount`` relative to the remaining
+    entries and selects only among them — verified empirically and by
+    the golden tests, tests/test_pruner_parity.py). The prune count is
+    ``round(px · n_remaining)`` with Python's round-half-even, torch's
+    ``prune._compute_nparams_toprune`` convention."""
     leaves, treedef = jax.tree.flatten(params)
+    mask_leaves = jax.tree.leaves(mask) if mask is not None else None
     conv_positions = [i for i, l in enumerate(leaves) if is_conv_kernel(l)]
-    scores = [scores_fn(i, leaves[i]) for i in conv_positions]
-    n = sum(int(s.size) for s in scores)
-    keep = n - int(px * n)
+    scores = []
+    n_rem = 0
+    for i in conv_positions:
+        s = scores_fn(i, leaves[i]).astype(jnp.float32)
+        if mask_leaves is not None:
+            # pruned entries sort below everything and can't be re-kept
+            s = jnp.where(mask_leaves[i] > 0, s, -jnp.inf)
+            n_rem += int(jnp.sum(mask_leaves[i] > 0))
+        else:
+            n_rem += int(s.size)
+        scores.append(s)
+    keep = n_rem - round(px * n_rem)
     keep_masks = global_topk_masks(scores, keep)
     out = [jnp.ones_like(l, jnp.float32) for l in leaves]
     for pos, m in zip(conv_positions, keep_masks):
@@ -51,31 +71,29 @@ def _prune_conv_by_scores(params, scores_fn, px: float):
 
 
 def global_l1_prune(params, px: float, mask=None):
-    """Prune the px fraction of conv-kernel weights with smallest |w·m|
-    globally (pruner/utils.py:23-35 pruning_model). Previously-pruned
-    weights are zero in w·m and therefore stay pruned, matching torch's
-    repeated global_unstructured semantics."""
+    """Prune the px fraction of the REMAINING conv-kernel weights with
+    smallest |w·m| globally (pruner/utils.py:23-35 pruning_model).
+    Matches torch's repeated ``global_unstructured`` semantics: pruned
+    weights stay pruned, and px is a fraction of what remains
+    (tests/test_pruner_parity.py::test_repeated_l1_prune...)."""
     eff = apply_prune_mask(params, mask)
     eff_leaves = jax.tree.leaves(eff)
     return _prune_conv_by_scores(
-        params, lambda i, l: jnp.abs(eff_leaves[i].astype(jnp.float32)), px
+        params, lambda i, l: jnp.abs(eff_leaves[i].astype(jnp.float32)),
+        px, mask,
     )
 
 
 def global_random_prune(params, px: float, key, mask=None):
     """Random global pruning (pruner/utils.py:67-79), composing with an
-    existing mask (already-pruned weights score below everything)."""
+    existing mask (px of the remaining; pruned stay pruned)."""
     leaves = jax.tree.leaves(params)
     keys = jax.random.split(key, len(leaves))
-    mask_leaves = jax.tree.leaves(mask) if mask is not None else None
 
     def score(i, l):
-        s = jax.random.uniform(keys[i], l.shape, jnp.float32)
-        if mask_leaves is not None:
-            s = jnp.where(mask_leaves[i] > 0, s, -1.0)
-        return s
+        return jax.random.uniform(keys[i], l.shape, jnp.float32)
 
-    return _prune_conv_by_scores(params, score, px)
+    return _prune_conv_by_scores(params, score, px, mask)
 
 
 def check_sparsity(params, mask) -> float:
@@ -108,17 +126,34 @@ def reverse_mask(mask):
 
 
 def snip_scores(loss_grad_fn, params, batch):
-    """SNIP: |g ⊙ w|."""
+    """SNIP importance as the reference computes it: |∂L/∂w| alone
+    (pruner/utils.py:208-227 snip_importance_score — the reference drops
+    the SNIP paper's ⊙w factor; parity follows the code). The reference
+    feeds a class-balanced batch (fetch_data, utils.py:179-199) — that
+    is the caller's job."""
     g = loss_grad_fn(params, batch)
-    return jax.tree.map(lambda p, gg: jnp.abs(p * gg), params, g)
+    return jax.tree.map(jnp.abs, g)
 
 
-def grasp_scores(loss_grad_fn, params, batch, eps: float = 1e-3):
-    """GraSP: -w ⊙ (H·g), H·g approximated by finite differences."""
-    g = loss_grad_fn(params, batch)
-    moved = jax.tree.map(lambda p, gg: p + eps * gg, params, g)
-    g2 = loss_grad_fn(moved, batch)
-    hg = jax.tree.map(lambda a, b: (b - a) / eps, g, g2)
+GRASP_TEMPERATURE = 200.0  # utils.py:234 — loss on model(x)/200
+
+
+def grasp_scores(loss_grad_fn, params, batch):
+    """GraSP: -w ⊙ (H·ĝ), with the exact double-backward HVP the
+    reference uses (pruner/utils.py:229-245): g = ∂L/∂w with the loss on
+    temperature-scaled logits (the caller's ``loss_grad_fn`` must divide
+    logits by :data:`GRASP_TEMPERATURE` for parity), then
+    ∂⟨g, stop_grad(g)⟩/∂w = H·ĝ — exact, not finite-differenced."""
+    g_hat = jax.lax.stop_gradient(loss_grad_fn(params, batch))
+
+    def inner(p):
+        g = loss_grad_fn(p, batch)
+        return sum(
+            jnp.vdot(a, b)
+            for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_hat))
+        )
+
+    hg = jax.grad(inner)(params)
     return jax.tree.map(lambda p, h: -(p * h), params, hg)
 
 
@@ -135,9 +170,27 @@ def synflow_scores(model, params, input_shape):
     return jax.tree.map(lambda p, gg: jnp.abs(p * gg), params, g)
 
 
-def prune_by_scores(params, scores, px: float):
-    """Keep the global top (1-px) of conv kernels by the given scores."""
+def prune_by_scores(params, scores, px: float, mask=None):
+    """Keep the global top (1-px of remaining) conv kernels by score."""
     score_leaves = jax.tree.leaves(scores)
     return _prune_conv_by_scores(
-        params, lambda i, l: score_leaves[i].astype(jnp.float32), px
+        params, lambda i, l: score_leaves[i].astype(jnp.float32), px, mask
     )
+
+
+def synflow_prune(model, params, px: float, input_shape,
+                  iterations: int = 100):
+    """Iterative SynFlow (pruner/utils.py:289-316 global_prune_model):
+    ``iterations`` rounds at per-round ratio 1-(1-px)^(1/iterations),
+    scores recomputed on the masked params each round, each round pruning
+    that fraction of the *remaining* weights (the torch
+    PruningContainer semantics — see :func:`_prune_conv_by_scores`).
+    The reference fixes iterations=100 ("an iteration number of 100
+    performs well", utils.py:304-306)."""
+    each = 1.0 - (1.0 - px) ** (1.0 / iterations)
+    mask = None
+    for _ in range(iterations):
+        eff = apply_prune_mask(params, mask)
+        scores = synflow_scores(model, eff, input_shape)
+        mask = prune_by_scores(params, scores, each, mask)
+    return mask
