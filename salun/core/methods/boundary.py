@@ -45,20 +45,20 @@ def boundary_shrink(loaders, model, state: TrainState, cfg: UnlearnConfig,
     frozen_bs = state.batch_stats
 
     @jax.jit
-    def adv_labels(img):
-        """FGSM on the frozen model, then frozen-model prediction
-        (boundary_sh.py:39-52,90-96)."""
+    def adv_labels(img, y):
+        """FGSM on the frozen model against the TRUE forget label, then
+        the frozen model's prediction on the adversarial input
+        (boundary_sh.py:39-52,90-96 — FGSM_perturb receives ``target``
+        from the loader, not a model prediction)."""
         variables = {"params": frozen}
         if frozen_bs:
             variables["batch_stats"] = frozen_bs
 
-        def loss_fn(x, y):
+        def loss_fn(x):
             out = model.apply(variables, x, train=False)
             return cross_entropy(out, y)
 
-        out0 = model.apply(variables, img, train=False)
-        y0 = jnp.argmax(out0, axis=-1)
-        g = jax.grad(loss_fn)(img, y0)
+        g = jax.grad(loss_fn)(img)
         x_adv = _discretize(jnp.clip(img + jnp.sign(g) * FGSM_BOUND, 0.0, 1.0))
         return jnp.argmax(model.apply(variables, x_adv, train=False), axis=-1)
 
@@ -76,7 +76,7 @@ def boundary_shrink(loaders, model, state: TrainState, cfg: UnlearnConfig,
             img = to_float(batch["image"])
             if do_aug:
                 img = augment(ka, img)
-            labels = adv_labels(img)
+            labels = adv_labels(img, batch["label"])
             batch = dict(batch, image=img, label=labels.astype(jnp.int32))
             state, _ = step(state, batch, sub)
     return state

@@ -12,6 +12,13 @@ Parity with Classification/unlearn/Wfisher.py:47-199:
 TPU design: all vector algebra happens on flat device buffers via
 ``ravel_pytree``; the gradient streams are jitted; no host round-trips
 inside the loops.
+
+Deliberate divergence: the reference's imagenet branch accumulates
+``retain_grad`` by iterating the FORGET loader a second time
+(Wfisher.py:136-147 — a latent copy-paste bug; the CIFAR branch at
+:149-170 reads the retain set). This port always reads the retain set.
+End-to-end golden parity vs the (correct) reference algorithm:
+tests/test_wfisher_parity.py.
 """
 
 from __future__ import annotations

@@ -32,8 +32,13 @@ class FlaxNet(fnn.Module):
 
 
 def transport(tnet):
-    """torch state → flax params pytree (OIHW→HWIO, [O,I]→[I,O])."""
-    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    """torch state → flax params pytree (OIHW→HWIO, [O,I]→[I,O]).
+
+    Copies defensively: ``.detach().numpy()`` aliases the torch buffer
+    and jax's CPU backend can alias numpy memory, so without the copy an
+    in-place torch ``opt.step()`` after transport would silently mutate
+    the jax params too."""
+    sd = {k: v.detach().numpy().copy() for k, v in tnet.state_dict().items()}
     return {
         "conv1": {"kernel": jnp.asarray(sd["conv1.weight"].transpose(
             2, 3, 1, 0)), "bias": jnp.asarray(sd["conv1.bias"])},
