@@ -96,10 +96,28 @@ def save_sharded(path: str, payload, *, async_: bool = False):
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = serialization.to_state_dict(payload)
-    ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-             if async_ else ocp.Checkpointer(ocp.StandardCheckpointHandler()))
+    ckptr = _sharded_checkpointer(async_)
     ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(state),
                force=True)
+    return ckptr
+
+
+_SHARDED_CKPTRS = {}
+
+
+def _sharded_checkpointer(async_: bool):
+    """One cached (Async)Checkpointer per process — constructing one per
+    save would leak its background threads/barrier machinery over a long
+    checkpoint loop. AsyncCheckpointer.save itself waits for the previous
+    in-flight save, so reuse is the supported pattern."""
+    import orbax.checkpoint as ocp
+
+    ckptr = _SHARDED_CKPTRS.get(async_)
+    if ckptr is None:
+        ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                 if async_
+                 else ocp.Checkpointer(ocp.StandardCheckpointHandler()))
+        _SHARDED_CKPTRS[async_] = ckptr
     return ckptr
 
 
@@ -116,7 +134,7 @@ def restore_sharded(path: str, like):
             x.shape, x.dtype,
             sharding=getattr(x, "sharding", None)),
         serialization.to_state_dict(like))
-    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    ckptr = _sharded_checkpointer(async_=False)
     raw = ckptr.restore(os.path.abspath(path),
                         args=ocp.args.StandardRestore(abstract))
     return serialization.from_state_dict(like, raw)

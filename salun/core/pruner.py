@@ -36,7 +36,8 @@ def apply_prune_mask(params, mask):
     return jax.tree.map(lambda p, m: p * m.astype(p.dtype), params, mask)
 
 
-def _prune_conv_by_scores(params, scores_fn, px: float, mask=None):
+def _prune_conv_by_scores(params, scores_fn, px: float, mask=None,
+                          n_remaining=None):
     """Shared core: prune the globally lowest-scored px fraction of the
     REMAINING (unpruned) conv-kernel weights; previously-pruned weights
     stay pruned and do not consume the prune budget.
@@ -52,16 +53,20 @@ def _prune_conv_by_scores(params, scores_fn, px: float, mask=None):
     mask_leaves = jax.tree.leaves(mask) if mask is not None else None
     conv_positions = [i for i, l in enumerate(leaves) if is_conv_kernel(l)]
     scores = []
-    n_rem = 0
     for i in conv_positions:
         s = scores_fn(i, leaves[i]).astype(jnp.float32)
         if mask_leaves is not None:
             # pruned entries sort below everything and can't be re-kept
             s = jnp.where(mask_leaves[i] > 0, s, -jnp.inf)
-            n_rem += int(jnp.sum(mask_leaves[i] > 0))
-        else:
-            n_rem += int(s.size)
         scores.append(s)
+    if n_remaining is not None:
+        n_rem = int(n_remaining)  # caller-threaded (e.g. synflow_prune)
+    elif mask_leaves is None:
+        n_rem = sum(int(leaves[i].size) for i in conv_positions)
+    else:
+        # one fused device reduction + one host fetch (not one per leaf)
+        n_rem = int(sum(jnp.sum(mask_leaves[i] > 0)
+                        for i in conv_positions))
     keep = n_rem - round(px * n_rem)
     keep_masks = global_topk_masks(scores, keep)
     out = [jnp.ones_like(l, jnp.float32) for l in leaves]
@@ -170,11 +175,12 @@ def synflow_scores(model, params, input_shape):
     return jax.tree.map(lambda p, gg: jnp.abs(p * gg), params, g)
 
 
-def prune_by_scores(params, scores, px: float, mask=None):
+def prune_by_scores(params, scores, px: float, mask=None, n_remaining=None):
     """Keep the global top (1-px of remaining) conv kernels by score."""
     score_leaves = jax.tree.leaves(scores)
     return _prune_conv_by_scores(
-        params, lambda i, l: score_leaves[i].astype(jnp.float32), px, mask
+        params, lambda i, l: score_leaves[i].astype(jnp.float32), px, mask,
+        n_remaining,
     )
 
 
@@ -189,8 +195,15 @@ def synflow_prune(model, params, px: float, input_shape,
     performs well", utils.py:304-306)."""
     each = 1.0 - (1.0 - px) ** (1.0 / iterations)
     mask = None
+    # thread the remaining-count through the loop in Python: round k's
+    # n_remaining is exactly round k-1's keep, so no per-round device
+    # fetch is needed to recount it
+    n_rem = sum(int(p.size) for p in jax.tree.leaves(params)
+                if is_conv_kernel(p))
     for _ in range(iterations):
         eff = apply_prune_mask(params, mask)
         scores = synflow_scores(model, eff, input_shape)
-        mask = prune_by_scores(params, scores, each, mask)
+        mask = prune_by_scores(params, scores, each, mask,
+                               n_remaining=n_rem)
+        n_rem = n_rem - round(each * n_rem)
     return mask

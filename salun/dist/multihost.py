@@ -58,6 +58,12 @@ def initialize(
     if coordinator_address is None and num_processes is None \
             and not on_tpu_host:
         return  # single-process dev run; nothing to do
+    # Explicit multi-process intent must never be silently downgraded to
+    # a single-process run (every process would then load the FULL
+    # dataset and train on duplicated data with no error).
+    multiproc_intent = (coordinator_address is not None
+                        or num_processes is not None
+                        or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -66,16 +72,21 @@ def initialize(
         )
     except RuntimeError as e:
         msg = str(e).lower()
-        if "already" in msg or "single process" in msg \
-                or "must be called before" in msg:
-            # initialized earlier, a 1-process TPU dev session, or the
-            # backend is already live (a late call in a single-process
-            # run — on a real pod the run would have failed long before)
+        # jax 0.9: repeat call raises "distributed.initialize should only
+        # be called once."; tolerate it (and close variants) so drivers
+        # can call this unconditionally.
+        if "only be called once" in msg or "already" in msg:
+            return
+        if "must be called before" in msg and not multiproc_intent:
+            # backend already live in a single-process run (a late call);
+            # with multi-process intent this is a real ordering bug.
             return
         raise
     except ValueError as e:
-        if "coordinator_address" in str(e) and coordinator_address is None:
-            return  # libtpu present but no cluster detected: single host
+        if "coordinator_address" in str(e) and not multiproc_intent:
+            # libtpu present but autodetection found no cluster: a
+            # single-host dev session, not a misconfigured pod.
+            return
         raise
 
 

@@ -92,11 +92,14 @@ def _pipe_body(stage_params, x, *, stage_fn, axis: str, n_stages: int,
         state = jnp.where(s == 0, mb, state)
         # (b) this device's stage
         y = fn(params, state)
-        # (c) last stage records microbatch t-(S-1)
+        # (c) last stage records microbatch t-(S-1). Select at the SLICE
+        # level, then always dynamic_update: a full-buffer jnp.where
+        # would force XLA to copy `out` every tick (the traced predicate
+        # defeats in-place aliasing of the scan carry).
         oidx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
-        collected = jax.lax.dynamic_update_index_in_dim(out, y, oidx, 0)
-        out = jnp.where((s == n_stages - 1) & (t >= n_stages - 1),
-                        collected, out)
+        cur = jax.lax.dynamic_index_in_dim(out, oidx, 0, keepdims=False)
+        rec = jnp.where((s == n_stages - 1) & (t >= n_stages - 1), y, cur)
+        out = jax.lax.dynamic_update_index_in_dim(out, rec, oidx, 0)
         # (d) activation moves one stage down the ring
         state = jax.lax.ppermute(y, axis, perm)
         return (state, out), None
