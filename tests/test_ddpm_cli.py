@@ -77,3 +77,55 @@ def test_ddpm_train_esd_raises(tiny_config, tmp_path):
     with pytest.raises(NotImplementedError):
         main(["--config", tiny_config, "--mode", "train_esd",
               "--save_dir", str(tmp_path / "out")])
+
+
+@pytest.mark.slow  # three chained CLI compiles (train → fim → SA-forget)
+def test_ddpm_fim_then_train_forget_chain(tiny_config, tmp_path):
+    """SA baseline chain (DDPM/fim.py → train.py --mode forget): train a
+    ckpt, compute the Fisher dict with the fim driver, build a tiny
+    class_samples tree, and run the EWC+remember forget mode end to end."""
+    import numpy as np
+    from PIL import Image
+
+    from salun import ckpt
+    from salun.cli.ddpm_fim import main as fim_main
+    from salun.cli.ddpm_train import main as train_main
+
+    base = tmp_path / "base"
+    train_main(["--config", tiny_config, "--mode", "train",
+                "--save_dir", str(base)])
+
+    fim_main(["--config", tiny_config, "--ckpt_folder", str(base),
+              "--save_dir", str(base), "--n_samples", "8", "--batch", "4",
+              "--n_timestep_samples", "2"])
+    fisher = ckpt.restore(str(base / "fisher"))
+    assert "fim" in fisher
+
+    rng = np.random.RandomState(0)
+    for cls in range(10):
+        d = base / "class_samples" / str(cls)
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+                    d / f"{i}.png")
+
+    out = tmp_path / "forget_out"
+    train_main(["--config", tiny_config, "--mode", "forget",
+                "--label_to_forget", "0", "--ckpt_folder", str(base),
+                "--save_dir", str(out)])
+    payload = ckpt.restore(str(out / "ckpt"))
+    assert "params" in payload
+
+
+@pytest.mark.slow
+def test_ddpm_retrain_mode(tiny_config, tmp_path):
+    """retrain drops the forgotten class and trains from fresh params
+    (diffusion.py:399-480)."""
+    from salun import ckpt
+    from salun.cli.ddpm_train import main
+
+    main(["--config", tiny_config, "--mode", "retrain",
+          "--label_to_forget", "0", "--save_dir", str(tmp_path / "out")])
+    payload = ckpt.restore(str(tmp_path / "out" / "ckpt"))
+    assert "params" in payload
