@@ -46,6 +46,9 @@ def train(args):
     key = jax.random.PRNGKey(args.seed)
     ds = D.load(args.dataset, args.data, train=True)
     test = D.load(args.dataset, args.data, train=False)
+    if args.limit:
+        ds = ds.select(range(min(args.limit, len(ds))))
+        test = test.select(range(min(args.limit, len(test))))
     model = create_model("resnet34", num_classes=ds.num_classes)
 
     loader = BatchIterator(ds, args.batch_size, shuffle=True, seed=args.seed)
@@ -120,6 +123,8 @@ def main(argv=None):
     tr.add_argument("--lr", type=float, default=0.01)
     tr.add_argument("--seed", type=int, default=1)
     tr.add_argument("--save_dir", default="results/classifier")
+    tr.add_argument("--limit", type=int, default=0,
+                    help="cap train/test set size (smoke runs)")
     ev = sub.add_parser("eval")
     ev.add_argument("--sample_path", required=True)
     ev.add_argument("--label_of_forgotten_class", type=int, default=0)

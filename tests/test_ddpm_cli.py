@@ -129,3 +129,64 @@ def test_ddpm_retrain_mode(tiny_config, tmp_path):
           "--label_to_forget", "0", "--save_dir", str(tmp_path / "out")])
     payload = ckpt.restore(str(tmp_path / "out" / "ckpt"))
     assert "params" in payload
+
+
+@pytest.mark.slow
+def test_ddpm_sample_and_save_base_clis(tiny_config, tmp_path):
+    """sample_classes on a trained tiny ckpt (x0 exclusion syntax) and the
+    FID reference-set snapshot CLI, end to end on synthetic data."""
+    from salun.cli.ddpm_sample import main as sample_main
+    from salun.cli.ddpm_save_base import main as save_base_main
+    from salun.cli.ddpm_train import main as train_main
+
+    base = tmp_path / "base"
+    train_main(["--config", tiny_config, "--mode", "train",
+                "--save_dir", str(base)])
+    out = tmp_path / "samples"
+    sample_main(["--config", tiny_config, "--mode", "sample_classes",
+                 "--ckpt_folder", str(base), "--save_dir", str(out),
+                 "--n_samples_per_class", "2", "--batch", "2",
+                 "--timesteps", "4", "--classes", "x0"])
+    dirs = sorted(os.listdir(out))
+    assert "0" not in dirs and len(dirs) == 9  # x0 excluded the class
+
+    ref = tmp_path / "ref"
+    save_base_main(["--dataset", "synthetic", "--label_to_forget", "0",
+                    "--per_class", "2", "--save_dir", str(ref)])
+    ref_dirs = sorted(os.listdir(ref))
+    assert "0" not in ref_dirs and len(ref_dirs) == 9
+    assert len(os.listdir(ref / ref_dirs[0])) == 2
+
+
+@pytest.mark.slow  # resnet34 @224 on CPU, 2 steps
+def test_ddpm_classifier_train_then_eval(tmp_path):
+    """The forgotten-class probe: fine-tune the ResNet-34 classifier on a
+    capped synthetic set, then evaluate a folder of images
+    (classifier_evaluation.py metrics: entropy / forgotten-class prob /
+    accuracy)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from salun.cli.ddpm_classifier import main
+
+    ckpt_dir = tmp_path / "cls"
+    main(["train", "--dataset", "synthetic", "--limit", "16",
+          "--batch_size", "8", "--epochs", "1",
+          "--save_dir", str(ckpt_dir)])
+
+    samples = tmp_path / "gen"
+    samples.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            samples / f"{i}.png")
+    out = tmp_path / "eval"
+    main(["eval", "--sample_path", str(samples),
+          "--label_of_forgotten_class", "0",
+          "--ckpt", str(ckpt_dir / "classifier"),
+          "--batch_size", "4", "--save_dir", str(out)])
+    results = json.load(open(out / "classifier_eval.json"))
+    assert 0.0 <= results["avg_prob_of_forgotten_class"] <= 1.0
+    assert results["avg_entropy"] >= 0.0
