@@ -98,3 +98,39 @@ def test_dtype_override(v1):
     cfg = parse_sd_config(v1, dtype=jnp.bfloat16)
     assert cfg.unet.dtype == jnp.bfloat16
     assert cfg.vae.dtype == jnp.bfloat16
+
+
+@pytest.mark.slow  # full-size CLIP text encoder init on CPU
+def test_sd_generate_images_cli_from_yaml(tmp_path):
+    """End-to-end sd_generate_images driver: tiny-UNet/VAE YAML config
+    (full CLIP — the YAML cannot shrink the text-encoder architecture,
+    matching FrozenCLIPEmbedder), 2-row prompt CSV, random init, 2 DDIM
+    steps at 64px; asserts per-case image folders are written."""
+    from salun.cli.sd_generate_images import main
+
+    with open(YAML_PATH) as f:
+        v1 = yaml.safe_load(f)
+    p = v1["model"]["params"]
+    p["timesteps"] = 8
+    u = p["unet_config"]["params"]
+    u.update(model_channels=32, num_res_blocks=1, channel_mult=[1, 2],
+             num_heads=2, attention_resolutions=[1, 2])
+    d = p["first_stage_config"]["params"]["ddconfig"]
+    d.update(ch=32, ch_mult=[1, 1, 1, 1], num_res_blocks=1)
+    cfg_path = tmp_path / "tiny-sd.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(v1, f)
+
+    csv_path = tmp_path / "prompts.csv"
+    csv_path.write_text(
+        "case_number,prompt,evaluation_seed\n"
+        "0,hello world,42\n"
+        "3,the cat,7\n")
+
+    out = tmp_path / "gen"
+    main(["--prompts_path", str(csv_path), "--config", str(cfg_path),
+          "--save_path", str(out), "--num_samples", "1",
+          "--ddim_steps", "2", "--image_size", "64",
+          "--guidance_scale", "3.0"])
+    assert sorted(os.listdir(out)) == ["0", "3"]
+    assert os.listdir(out / "0") == ["0_0.png"]
