@@ -110,3 +110,32 @@ def test_pool3_parity_vs_pytorch_fid_weights():
         x = torch.tensor(imgs.transpose(0, 3, 1, 2)) * 2 - 1
         ref = net(x)[0].squeeze(-1).squeeze(-1).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow  # InceptionV3 random-init + two feature extractions
+def test_ddpm_evaluator_cli_pipeline_check(tmp_path):
+    """End-to-end evaluator driver without real weights (its documented
+    random-init pipeline-check mode): two tiny image folders in, all five
+    metrics out, appended to result.csv (evaluator.py:77-101)."""
+    import csv
+
+    import numpy as np
+    from PIL import Image
+
+    from salun.cli.ddpm_evaluator import main
+
+    rng = np.random.RandomState(0)
+    for name in ("ref", "gen"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(6):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)
+                            ).save(d / f"{i}.png")
+
+    out_csv = tmp_path / "result.csv"
+    main([str(tmp_path / "ref"), str(tmp_path / "gen"),
+          "--output_csv", str(out_csv), "--batch_size", "4"])
+    rows = list(csv.reader(open(out_csv)))
+    assert rows[0][:2] == ["ref", "sample"]
+    assert "fid" in rows[0] and "inception_score" in rows[0]
+    assert len(rows) == 2 and len(rows[1]) == len(rows[0])
