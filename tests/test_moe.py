@@ -119,3 +119,19 @@ def test_moe_rejects_bad_shapes():
         moe_apply(_expert, bad, gate_w, x, mesh, axis="data")
     with pytest.raises(ValueError, match="tokens"):
         moe_apply(_expert, expert_params, gate_w, x[:30], mesh, axis="data")
+
+
+def test_moe_on_2d_mesh_data_axis():
+    """EP over the data axis of a (4, 2) mesh — the model axis must stay
+    inert (inputs replicated over it; aux loss invariant)."""
+    mesh = make_mesh(data=4, model=2)
+    expert_params, gate_w, x = _make(seed=3)
+    ep = jax.device_put(expert_params, expert_sharding(mesh, "data"))
+    got, aux = jax.jit(lambda e, g, x: moe_apply(
+        _expert, e, g, x, mesh, axis="data", capacity=T // 4))(
+            ep, gate_w, x)
+    want, want_aux = _dense_oracle(expert_params, gate_w, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(aux), float(want_aux),
+                               rtol=1e-5, atol=1e-7)

@@ -132,3 +132,27 @@ def test_pipeline_rejects_bad_shapes():
         pipeline_apply(_mlp_stage, stack_stage_params(stages8),
                        jnp.zeros((6, 4)), mesh, axis="model",
                        num_microbatches=4)
+
+
+def test_pipeline_no_remat_matches_sequential():
+    mesh = make_mesh(data=1, model=8)
+    stages = _make_stages(8, d=8, hidden=16, seed=3)
+    stacked = jax.device_put(stack_stage_params(stages),
+                             stage_sharding(mesh, "model"))
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 8))
+
+    def loss(p):
+        out = pipeline_apply(_mlp_stage, p, x, mesh, axis="model",
+                             num_microbatches=4, remat=False)
+        return jnp.sum(out ** 2)
+
+    got = jax.jit(jax.grad(loss))(stacked)
+    want = stack_stage_params(jax.grad(
+        lambda sl: jnp.sum(_sequential(sl, x) ** 2))(stages))
+    # without remat the backward keeps residuals instead of recomputing,
+    # which reorders the f32 accumulation through 8 stacked stages —
+    # a handful of elements land ~3e-3 relative off the oracle
+    jax.tree.map(
+        lambda g, w: np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-2, atol=1e-5),
+        got, want)
