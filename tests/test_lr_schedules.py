@@ -81,3 +81,50 @@ def test_warmup_cosine2_matches_reference():
     for n in [0, 5, 10, 50, 100, 101, 120, 250, 299]:
         np.testing.assert_allclose(float(sched(n)), ref.cosine(n), rtol=1e-5,
                                    err_msg=f"n={n}")
+
+
+def test_multistep_lr_matches_torch_scheduler():
+    """Classification MultiStepLR (impl.py:94-97, epoch-stepped, γ=0.1
+    fixed) vs torch.optim.lr_scheduler.MultiStepLR."""
+    import torch
+
+    from salun.core.train import multistep_lr
+
+    base, spe, milestones = 0.1, 7, [3, 5]
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    tsched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones, gamma=0.1)
+    ours = multistep_lr(base, milestones, spe)
+    for epoch in range(8):
+        want = tsched.get_last_lr()[0]
+        for j in range(spe):
+            np.testing.assert_allclose(
+                float(ours(epoch * spe + j)), want, rtol=1e-6,
+                err_msg=f"epoch {epoch} step {j}")
+        tsched.step()
+
+
+def test_cosine_warmup_lr_matches_torch_lambda():
+    """ImageNet-arch cosine warmup (impl.py:75-93 lambda0, epoch-stepped
+    LambdaLR) vs the torch scheduler."""
+    import torch
+
+    from salun.core.train import cosine_warmup_lr
+
+    base, spe, warmup, epochs = 0.4, 3, 2, 10
+    lambda0 = (
+        lambda cur_iter: (cur_iter + 1) / warmup
+        if cur_iter < warmup
+        else 0.5 * (1.0 + np.cos(
+            np.pi * ((cur_iter - warmup) / (epochs - warmup))))
+    )
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    tsched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lambda0)
+    ours = cosine_warmup_lr(base, warmup, epochs, spe)
+    for epoch in range(epochs):
+        want = tsched.get_last_lr()[0]
+        for j in range(spe):
+            # f32 cos near pi cancels; torch computes the lambda in f64
+            np.testing.assert_allclose(
+                float(ours(epoch * spe + j)), want, rtol=1e-5, atol=1e-7,
+                err_msg=f"epoch {epoch} step {j}")
+        tsched.step()
