@@ -64,3 +64,27 @@ def test_proximal_shrink_pins_boundary_element():
     # ratio=2 → τ = 2nd smallest |d| = 2.0 → elements |d|≤2 pinned
     got = np.asarray(_proximal_shrink(p, t0, jnp.asarray(2, jnp.int32)))
     np.testing.assert_allclose(got, [0.0, 0.0, 1.0, -2.0], atol=1e-7)
+
+
+@pytest.mark.parametrize("ratio", [3, 60])
+def test_sd_proximal_shrink_matches_torch(ratio):
+    """The SD variant (salun/sd/trainers.py::proximal_shrink vs
+    proximal_gradient.py:144-180) — same soft-threshold math, checked
+    against the same torch snippet."""
+    from salun.sd.trainers import proximal_shrink
+
+    rng = np.random.RandomState(100 + ratio)
+    leaves = {"q": rng.randn(9, 9).astype(np.float32),
+              "v": rng.randn(19).astype(np.float32)}
+    init = {"q": rng.randn(9, 9).astype(np.float32),
+            "v": rng.randn(19).astype(np.float32)}
+    flat = np.concatenate([leaves["q"].ravel(), leaves["v"].ravel()])
+    flat0 = np.concatenate([init["q"].ravel(), init["v"].ravel()])
+    want = _torch_shrink(flat, flat0, ratio)
+
+    got = proximal_shrink(jax.tree.map(jnp.asarray, leaves),
+                          jax.tree.map(jnp.asarray, init),
+                          jnp.asarray(ratio, jnp.int32))
+    got_flat = np.concatenate([np.asarray(got["q"]).ravel(),
+                               np.asarray(got["v"]).ravel()])
+    np.testing.assert_allclose(got_flat, want, rtol=0, atol=1e-7)
