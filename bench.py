@@ -556,10 +556,40 @@ def bench_resnet_rl():
           "mfu": round(mfu, 4) if mfu else None, "device": kind})
 
 
+def _arm_watchdog():
+    """Guarantee ONE stdout JSON line even if the axon tunnel hangs.
+
+    `import jax` succeeds during outages but the first device touch
+    (jax.devices()) can block for hours (observed; see
+    docs/BENCHMARKS.md timing notes). The driver records bench stdout —
+    a hang would leave it with nothing, so after SALUN_BENCH_WATCHDOG_S
+    (default 3000 s; a cold-cache run measured 1460 s) a daemon timer
+    prints a controlled error headline and hard-exits."""
+    import os
+    import threading
+
+    limit = float(os.environ.get("SALUN_BENCH_WATCHDOG_S", "3000"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "salun_maskgen_unlearn_chain_wallclock",
+            "value": 0, "unit": "s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {limit:.0f}s "
+                     "(TPU tunnel hang — rerun when the tunnel recovers)",
+        }), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     # Headline = the north-star chain (mask-gen + 10-epoch SalUn-RL
     # unlearn wall-clock, BASELINE.md); run first — tunnel throughput
     # degrades after back-to-back heavy runs (docs/BENCHMARKS.md).
+    watchdog = _arm_watchdog()
     headline = None
     try:
         maskgen_s = bench_maskgen()
@@ -578,6 +608,7 @@ def main():
         headline = {"metric": "salun_maskgen_unlearn_chain_wallclock",
                     "value": 0, "unit": "s", "vs_baseline": 0.0,
                     "error": "all benches failed; see stderr"}
+    watchdog.cancel()
     headline.pop("_flops", None)
     print(json.dumps(headline))
 
