@@ -173,6 +173,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=os.environ.get("SALUN_ASSETS", "assets"))
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--show-recipe", action="store_true",
+                    help="print the parity command chain even with "
+                         "artifacts missing")
     args = ap.parse_args(argv)
 
     results = check(args.root)
@@ -193,6 +196,9 @@ def main(argv=None):
         if missing:
             print(f"missing {len(missing)}/{len(ARTIFACTS)}: "
                   f"{', '.join(missing)}")
+            if args.show_recipe:
+                print("\nparity recipe (once assets exist):")
+                print(RECIPE.format(root=args.root))
         else:
             print("all artifacts present — parity recipe:")
             print(RECIPE.format(root=args.root))
