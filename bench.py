@@ -569,8 +569,11 @@ def _arm_watchdog():
     import threading
 
     limit = float(os.environ.get("SALUN_BENCH_WATCHDOG_S", "3000"))
+    done = threading.Event()
 
     def fire():
+        if done.is_set():  # headline already printed; don't double-print
+            return
         print(json.dumps({
             "metric": "salun_maskgen_unlearn_chain_wallclock",
             "value": 0, "unit": "s", "vs_baseline": 0.0,
@@ -582,35 +585,46 @@ def _arm_watchdog():
     t = threading.Timer(limit, fire)
     t.daemon = True
     t.start()
-    return t
+    return t, done
 
 
 def main():
     # Headline = the north-star chain (mask-gen + 10-epoch SalUn-RL
     # unlearn wall-clock, BASELINE.md); run first — tunnel throughput
     # degrades after back-to-back heavy runs (docs/BENCHMARKS.md).
-    watchdog = _arm_watchdog()
+    watchdog, done = _arm_watchdog()
     headline = None
+    ddpm = None
     try:
         maskgen_s = bench_maskgen()
         headline = bench_salun_chain(maskgen_s)
     except Exception as e:
         _log({"chain_bench_error": repr(e)})
-    try:
-        ddpm = bench_ddpm_salun_step()
-        if headline is None:  # fallback headline
+    if headline is None:  # fallback headline: the DDPM flagship step
+        try:
+            ddpm = bench_ddpm_salun_step()
             headline = dict(ddpm)
-        bench_ddpm_sampling(step_flops=ddpm.get("_flops"))
-        bench_resnet_rl()
-    except Exception as e:  # secondary metrics must never kill the headline
-        _log({"secondary_bench_error": repr(e)})
+        except Exception as e:
+            _log({"fallback_bench_error": repr(e)})
     if headline is None:  # both benches failed: controlled error line
         headline = {"metric": "salun_maskgen_unlearn_chain_wallclock",
                     "value": 0, "unit": "s", "vs_baseline": 0.0,
                     "error": "all benches failed; see stderr"}
+    # Print the headline BEFORE the secondary benches: a degraded tunnel
+    # slowing the secondaries past the watchdog must not discard an
+    # already-measured result.
+    done.set()
     watchdog.cancel()
+    headline = dict(headline)
     headline.pop("_flops", None)
-    print(json.dumps(headline))
+    print(json.dumps(headline), flush=True)
+    try:  # secondary metrics (stderr only) — best-effort
+        if ddpm is None:
+            ddpm = bench_ddpm_salun_step()
+        bench_ddpm_sampling(step_flops=ddpm.get("_flops"))
+        bench_resnet_rl()
+    except Exception as e:
+        _log({"secondary_bench_error": repr(e)})
 
 
 if __name__ == "__main__":

@@ -45,10 +45,10 @@ def train(args):
     seed_all(args.seed)
     key = jax.random.PRNGKey(args.seed)
     ds = D.load(args.dataset, args.data, train=True)
-    test = D.load(args.dataset, args.data, train=False)
+    if args.limit < 0:
+        raise SystemExit("--limit must be >= 0")
     if args.limit:
         ds = ds.select(range(min(args.limit, len(ds))))
-        test = test.select(range(min(args.limit, len(test))))
     model = create_model("resnet34", num_classes=ds.num_classes)
 
     loader = BatchIterator(ds, args.batch_size, shuffle=True, seed=args.seed)
@@ -124,7 +124,7 @@ def main(argv=None):
     tr.add_argument("--seed", type=int, default=1)
     tr.add_argument("--save_dir", default="results/classifier")
     tr.add_argument("--limit", type=int, default=0,
-                    help="cap train/test set size (smoke runs)")
+                    help="cap train set size (smoke runs); 0 = full")
     ev = sub.add_parser("eval")
     ev.add_argument("--sample_path", required=True)
     ev.add_argument("--label_of_forgotten_class", type=int, default=0)

@@ -25,21 +25,9 @@ accepts host-resident arrays like any other jax.Array).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-
-def host_sharding(mesh: Mesh, pspec: Optional[P] = None) -> NamedSharding:
-    return NamedSharding(mesh, pspec if pspec is not None else P(),
-                         memory_kind="pinned_host")
-
-
-def device_sharding(mesh: Mesh, pspec: Optional[P] = None) -> NamedSharding:
-    return NamedSharding(mesh, pspec if pspec is not None else P(),
-                         memory_kind="device")
 
 
 def _move(tree, mesh, pspecs, kind: str):

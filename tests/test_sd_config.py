@@ -19,7 +19,9 @@ from salun.sd.config import load_sd_config, modules_from_config, \
 from salun.sd.unet import SDUNetConfig
 from salun.sd.vae import VAEConfig
 
-pytestmark = pytest.mark.quick
+# (no module-level quick mark: conftest auto-applies quick to every test
+# not marked slow, and a module mark would force quick onto the slow
+# sd_generate_images CLI test below, letting `-m quick` select it)
 
 YAML_PATH = os.path.join(os.path.dirname(__file__), os.pardir,
                          "configs", "sd", "v1-inference.yaml")
