@@ -22,15 +22,45 @@ import os
 import numpy as np
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _classifier_preprocess(path):
+    """torchvision ``ResNet50_Weights.DEFAULT.transforms()``: resize the
+    short edge to 232 (bilinear), center-crop 224, scale to [0,1]
+    (imageclassify.py:40,57-62; normalization happens inside our model via
+    mean/std config)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    scale = 232 / min(w, h)
+    img = img.resize((max(1, round(w * scale)), max(1, round(h * scale))),
+                     Image.BILINEAR)
+    w, h = img.size
+    left, top = (w - 224) // 2, (h - 224) // 2
+    img = img.crop((left, top, left + 224, top + 224))
+    return np.asarray(img, np.float32) / 255.0
+
+
 def imageclassify(args):
+    """Reference-parity classifier eval (imageclassify.py:40-111): flat
+    folder of ``{case_number}_{i}.png`` images → pretrained ResNet-50
+    softmax top-k; results merged into the prompts CSV by case_number as
+    ``category_top{k}``/``index_top{k}``/``scores_top{k}`` columns.
+    Category names come from --categories (one ImageNet label per line,
+    torchvision ``weights.meta["categories"]`` order); without the file the
+    class index is used as the name."""
     import jax
     import jax.numpy as jnp
 
     from salun.ckpt import import_resnet
-    from salun.cli.ddpm_evaluator import read_images_folder
     from salun.models import create_model
 
-    model = create_model("resnet50", num_classes=1000, imagenet=True)
+    model = create_model("resnet50", num_classes=1000, imagenet=True,
+                         normalize_input=True,
+                         mean=IMAGENET_MEAN, std=IMAGENET_STD)
     if args.classifier_weights:
         params, stats = import_resnet(args.classifier_weights,
                                       num_classes=1000)
@@ -41,31 +71,75 @@ def imageclassify(args):
                        jnp.zeros((1, 224, 224, 3)), train=False)
         params, stats = v["params"], v["batch_stats"]
 
+    categories = None
+    if getattr(args, "categories", None):
+        categories = [ln.rstrip("\n") for ln in open(args.categories)]
+
     @jax.jit
     def topk_of(x):
-        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
         out = model.apply({"params": params, "batch_stats": stats}, x,
                           train=False)
-        return jax.lax.top_k(out, args.topk)
+        return jax.lax.top_k(jax.nn.softmax(out, axis=1), args.topk)
 
-    rows = []
-    for case in sorted(os.listdir(args.folder_path)):
-        d = os.path.join(args.folder_path, case)
-        if not os.path.isdir(d):
-            continue
-        imgs = read_images_folder(d)
-        for i in range(0, len(imgs), args.batch_size):
-            _, idx = topk_of(jnp.asarray(imgs[i : i + args.batch_size]))
-            for j, top in enumerate(np.asarray(idx)):
-                rows.append({"case_number": case, "image": i + j,
-                             **{f"top{k+1}": int(top[k])
-                                for k in range(args.topk)}})
+    names = [n for n in sorted(os.listdir(args.folder_path))
+             if ".png" in n or ".jpg" in n]
+    if not names:
+        raise SystemExit(f"no images in {args.folder_path}")
+    images = np.stack([
+        _classifier_preprocess(os.path.join(args.folder_path, n))
+        for n in names])
+
+    bs = args.batch_size or len(names)
+    bs = min(bs, len(names))
+    scores = {f"top{k}": [] for k in range(1, args.topk + 1)}
+    indexes = {f"top{k}": [] for k in range(1, args.topk + 1)}
+    for i in range(0, len(names), bs):
+        probs, ids = topk_of(jnp.asarray(images[i : i + bs]))
+        probs, ids = np.asarray(probs), np.asarray(ids)
+        for k in range(1, args.topk + 1):
+            scores[f"top{k}"].extend(probs[:, k - 1].tolist())
+            indexes[f"top{k}"].extend(int(c) for c in ids[:, k - 1])
+
+    def category(idx):
+        return categories[idx] if categories else str(idx)
+
     os.makedirs(os.path.dirname(args.save_path) or ".", exist_ok=True)
-    with open(args.save_path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0]))
-        w.writeheader()
-        w.writerows(rows)
-    print(f"wrote {len(rows)} rows → {args.save_path}")
+    if getattr(args, "prompts_path", None):
+        import pandas as pd
+
+        df = pd.read_csv(args.prompts_path)
+        df["case_number"] = df["case_number"].astype("int")
+        case_numbers = [int(n.split("/")[-1].split("_")[0]
+                            .replace(".png", "").replace(".jpg", ""))
+                        for n in names]
+        dict_final = {"case_number": case_numbers}
+        for k in range(1, args.topk + 1):
+            dict_final[f"category_top{k}"] = [
+                category(i) for i in indexes[f"top{k}"]]
+            dict_final[f"index_top{k}"] = indexes[f"top{k}"]
+            dict_final[f"scores_top{k}"] = scores[f"top{k}"]
+        merged = pd.merge(df, pd.DataFrame(dict_final))
+        merged.to_csv(args.save_path)
+        # convenience UA summary (SD/README.md: UA = 1 − top-1 accuracy),
+        # computed when the prompts carry the target ImageNet classidx
+        if "classidx" in merged.columns and len(merged):
+            acc = float((merged["index_top1"] ==
+                         merged["classidx"]).mean())
+            print(f"top1 acc {acc:.4f}  UA {1 - acc:.4f}")
+    else:
+        rows = [{"image": n,
+                 **{f"category_top{k}": category(indexes[f"top{k}"][j])
+                    for k in range(1, args.topk + 1)},
+                 **{f"index_top{k}": indexes[f"top{k}"][j]
+                    for k in range(1, args.topk + 1)},
+                 **{f"scores_top{k}": scores[f"top{k}"][j]
+                    for k in range(1, args.topk + 1)}}
+                for j, n in enumerate(names)]
+        with open(args.save_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+    print(f"wrote {len(names)} results → {args.save_path}")
 
 
 def compute_fid(args):
@@ -170,8 +244,13 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
     ic = sub.add_parser("imageclassify")
     ic.add_argument("--folder_path", required=True)
+    ic.add_argument("--prompts_path", default=None,
+                    help="prompts CSV with case_number (imagenette.csv); "
+                         "enables the reference merged-CSV output schema")
     ic.add_argument("--save_path", default="classify.csv")
     ic.add_argument("--classifier_weights", default=None)
+    ic.add_argument("--categories", default=None,
+                    help="optional ImageNet label names, one per line")
     ic.add_argument("--topk", type=int, default=5)
     ic.add_argument("--batch_size", type=int, default=16)
     fd = sub.add_parser("compute_fid")

@@ -63,12 +63,14 @@ def main(argv=None):
             guidance=args.guidance_scale, steps=args.ddim_steps,
             image_size=args.image_size // 8,
         )
-        out = os.path.join(args.save_path, str(case))
-        os.makedirs(out, exist_ok=True)
+        # flat layout "{save_path}/{case}_{i}.png" (generate-images.py:99,
+        # 192) — the downstream eval scripts (imageclassify / nudenet) parse
+        # the case_number from the filename of a flat folder listing
+        os.makedirs(args.save_path, exist_ok=True)
         for i, img in enumerate(np.asarray(imgs)):
             Image.fromarray((img * 255).astype(np.uint8)).save(
-                os.path.join(out, f"{case}_{i}.png"))
-        print(f"case {case}: {args.num_samples} images → {out}")
+                os.path.join(args.save_path, f"{case}_{i}.png"))
+        print(f"case {case}: {args.num_samples} images → {args.save_path}")
 
 
 if __name__ == "__main__":

@@ -107,7 +107,7 @@ def test_sd_generate_images_cli_from_yaml(tmp_path):
     """End-to-end sd_generate_images driver: tiny-UNet/VAE YAML config
     (full CLIP — the YAML cannot shrink the text-encoder architecture,
     matching FrozenCLIPEmbedder), 2-row prompt CSV, random init, 2 DDIM
-    steps at 64px; asserts per-case image folders are written."""
+    steps at 64px; asserts the flat {case}_{i}.png reference layout."""
     from salun.cli.sd_generate_images import main
 
     with open(YAML_PATH) as f:
@@ -134,5 +134,6 @@ def test_sd_generate_images_cli_from_yaml(tmp_path):
           "--save_path", str(out), "--num_samples", "1",
           "--ddim_steps", "2", "--image_size", "64",
           "--guidance_scale", "3.0"])
-    assert sorted(os.listdir(out)) == ["0", "3"]
-    assert os.listdir(out / "0") == ["0_0.png"]
+    # flat reference layout (generate-images.py:99,192): the filename
+    # carries the case_number for the downstream eval scripts
+    assert sorted(os.listdir(out)) == ["0_0.png", "3_0.png"]
