@@ -11,7 +11,9 @@ unlearn.yml). Secondary metrics go to stderr:
     Classification/README.md:23) + the full 0.1–1.0 threshold sweep, with
     the torch-CPU double-argsort sweep (generate_mask.py:50-82) measured
     in-process for an honest algorithmic ratio;
-  - the classification masked-RL step (ResNet-18, bs 256) from round 1.
+  - the classification masked-RL step (ResNet-18, bs 256) from round 1;
+  - the SD v1 trainer hot loop at the true 859.5M-param shape
+    (VAE-encode 512² + U-Net fwd+bwd at latent 64², bf16).
 
 vs_baseline derivation (documented, not hand-waved): the reference runs
 this exact step in *eager fp32* torch on A100 — no AMP anywhere in the
@@ -498,6 +500,77 @@ def bench_salun_chain(maskgen_s):
     }
 
 
+# ---------------------------------------------------- SD v1 real shape
+
+
+def bench_sd_step():
+    """The third workload's hot loop at the TRUE v1-inference shape
+    (SD/train-scripts/random_label.py:66-143): VAE-encode a 512×512 batch
+    + 859.5M-param U-Net fwd+bwd at latent 64×64 with 77×768 text context,
+    bf16 compute. Timing: in-graph lax.scan with a carried data dependency
+    and a forced scalar fetch (python-loop timing is unreliable on the
+    axon remote backend). FLOPs: XLA cost model of the scan program — the
+    scan body is counted once, so the figure IS per-step."""
+    _log({"phase": "sd_start"})
+    from salun.sd import SDModules, SDUNetConfig, VAEConfig
+
+    modules = SDModules.create(SDUNetConfig(dtype=jnp.bfloat16),
+                               VAEConfig(dtype=jnp.bfloat16),
+                               num_timesteps=1000)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    zc = modules.vae.cfg.z_channels
+    unet_p = modules.unet.init(k1, jnp.zeros((1, 64, 64, zc)),
+                               jnp.zeros((1,)), jnp.zeros((1, 77, 768))
+                               )["params"]
+    vae_p = modules.vae.init(k2, jnp.zeros((1, 512, 512, 3)), k2)["params"]
+    params = {"unet": unet_p, "vae": vae_p}
+
+    b, iters = 1, 5
+
+    def one_step(params, images, context, key):
+        ke, kt, kn = jax.random.split(key, 3)
+        z0 = modules.encode_image(params, images, ke)
+        t = jax.random.randint(kt, (images.shape[0],), 0, 1000)
+        noise = jax.random.normal(kn, z0.shape)
+
+        def loss_fn(unet_params):
+            z_t = modules.q_sample(z0, t, noise)
+            out = modules.unet.apply(
+                {"params": unet_params}, z_t, t.astype(jnp.float32), context)
+            return jnp.square(noise - out).mean()
+
+        loss, _ = jax.value_and_grad(loss_fn)(params["unet"])
+        return loss
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, 512, 512, 3).astype(np.float32) * 2 - 1)
+    context = jnp.asarray(rng.randn(b, 77, 768).astype(np.float32))
+
+    @jax.jit
+    def run(params, images, context, key):
+        def body(carry, k):
+            loss = one_step(params, carry, context, k)
+            return carry + (0.0 * loss).astype(carry.dtype), loss
+
+        imgs_f, losses = jax.lax.scan(body, images,
+                                      jax.random.split(key, iters))
+        return jnp.sum(imgs_f.astype(jnp.float32)) + jnp.sum(losses)
+
+    _log({"phase": "sd_aot_start"})
+    crun, flops = _aot(run, params, images, context, jax.random.PRNGKey(1))
+    _log({"phase": "sd_aot_done"})
+    float(crun(params, images, context, jax.random.PRNGKey(2)))  # warm
+    t0 = time.perf_counter()
+    float(crun(params, images, context, jax.random.PRNGKey(3)))
+    dt = (time.perf_counter() - t0) / iters
+    peak, kind = _peak()
+    _log({"metric": "sd_v1_train_step", "ms_per_step": round(dt * 1e3, 1),
+          "images_per_sec": round(b / dt, 2),
+          "flops_per_step": flops,
+          "mfu": round(flops / dt / peak, 4) if flops else None,
+          "device": kind, "batch": b})
+
+
 # ------------------------------------------------- classification RL step
 
 
@@ -623,6 +696,7 @@ def main():
             ddpm = bench_ddpm_salun_step()
         bench_ddpm_sampling(step_flops=ddpm.get("_flops"))
         bench_resnet_rl()
+        bench_sd_step()
     except Exception as e:
         _log({"secondary_bench_error": repr(e)})
 
