@@ -35,9 +35,12 @@ def _classifier_preprocess(path):
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    scale = 232 / min(w, h)
-    img = img.resize((max(1, round(w * scale)), max(1, round(h * scale))),
-                     Image.BILINEAR)
+    # torchvision _compute_resized_output_size: short edge pinned to 232,
+    # long edge TRUNCATED (int), not rounded
+    short, long = min(w, h), max(w, h)
+    new_short, new_long = 232, max(1, int(232 * long / short))
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    img = img.resize((nw, nh), Image.BILINEAR)
     w, h = img.size
     left, top = (w - 224) // 2, (h - 224) // 2
     img = img.crop((left, top, left + 224, top + 224))
@@ -73,7 +76,8 @@ def imageclassify(args):
 
     categories = None
     if getattr(args, "categories", None):
-        categories = [ln.rstrip("\n") for ln in open(args.categories)]
+        with open(args.categories) as f:
+            categories = [ln.rstrip("\n") for ln in f]
 
     @jax.jit
     def topk_of(x):
@@ -94,8 +98,16 @@ def imageclassify(args):
     scores = {f"top{k}": [] for k in range(1, args.topk + 1)}
     indexes = {f"top{k}": [] for k in range(1, args.topk + 1)}
     for i in range(0, len(names), bs):
-        probs, ids = topk_of(jnp.asarray(images[i : i + bs]))
-        probs, ids = np.asarray(probs), np.asarray(ids)
+        chunk = images[i : i + bs]
+        n_real = len(chunk)
+        if n_real < bs:
+            # pad the ragged final batch to the jitted shape (avoids a
+            # full ResNet-50 recompile), slice the results back
+            chunk = np.concatenate(
+                [chunk, np.zeros((bs - n_real,) + chunk.shape[1:],
+                                 chunk.dtype)])
+        probs, ids = topk_of(jnp.asarray(chunk))
+        probs, ids = np.asarray(probs)[:n_real], np.asarray(ids)[:n_real]
         for k in range(1, args.topk + 1):
             scores[f"top{k}"].extend(probs[:, k - 1].tolist())
             indexes[f"top{k}"].extend(int(c) for c in ids[:, k - 1])

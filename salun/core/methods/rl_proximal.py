@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from salun.core.train import TrainState, make_train_step
-from salun.dist.topk import _bisect_kth, _f32_to_ordered_u32, _ordered_u32_to_f32
+from salun.dist.topk import kth_largest_threshold
 from salun.utils.tree import tree_size
 
 from .common import (
@@ -36,16 +36,10 @@ def _proximal_shrink(params, theta_init, ratio):
     """Soft-threshold toward theta_init with τ = ratio-th smallest |d|."""
     diffs = jax.tree.map(lambda p, t0: (p - t0).astype(jnp.float32),
                          params, theta_init)
-    ords = [
-        _f32_to_ordered_u32(jnp.abs(d).reshape(-1)) for d in jax.tree.leaves(diffs)
-    ]
-
     # ratio-th smallest == (n - ratio + 1)-th largest
-    n = sum(o.size for o in ords)
+    n = tree_size(diffs)
     k_largest = jnp.maximum(n - ratio + 1, 1)
-    tau_u = _bisect_kth(lambda v: sum(jnp.sum(o >= v) for o in ords),
-                        k_largest.astype(jnp.int32))
-    tau = _ordered_u32_to_f32(tau_u)
+    tau = kth_largest_threshold(jax.tree.map(jnp.abs, diffs), k_largest)
 
     def shrink(p, t0, d):
         moved = p.astype(jnp.float32) - jnp.sign(d) * tau

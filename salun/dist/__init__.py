@@ -4,4 +4,4 @@ from .host_offload import offloaded, state_shardings, to_device, to_host
 from .multihost import host_local_to_global, initialize, process_shard
 from .pipeline import pipeline_apply, stack_stage_params, stage_sharding
 from .ring_attention import ring_attention
-from .topk import global_topk_masks, kth_largest
+from .topk import global_topk_masks, kth_largest, kth_largest_threshold

@@ -72,6 +72,23 @@ def kth_largest(flat: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return _ordered_u32_to_f32(tau_u)
 
 
+def kth_largest_threshold(tree, k) -> jnp.ndarray:
+    """Exact k-th largest value (1-indexed) across ALL leaves of a pytree.
+
+    The pytree analogue of :func:`kth_largest`: no concatenated copy is
+    materialized — per-leaf counts are summed, so under jit with sharded
+    leaves every reduction becomes a psum. Unlike :func:`global_topk_masks`
+    (static k, builds masks), ``k`` may be a *traced* int32 scalar, which is
+    what the proximal methods need — their threshold rank decays per step
+    inside the jitted program (Classification/unlearn/RL_pro.py:53-62,
+    SD/train-scripts/proximal_gradient.py:144-180).
+    """
+    ords = [_f32_to_ordered_u32(l.reshape(-1)) for l in jax.tree.leaves(tree)]
+    tau_u = _bisect_kth(lambda v: sum(jnp.sum(o >= v) for o in ords),
+                        jnp.asarray(k, jnp.int32))
+    return _ordered_u32_to_f32(tau_u)
+
+
 def global_topk_masks(abs_tree, k: int):
     """Exact top-k 0/1 masks over a pytree of |saliency| tensors.
 

@@ -13,8 +13,9 @@ provide it); without weights the architecture still runs (random init) for
 pipeline tests, and the statistics math in salun.evalx.fid is extractor-
 agnostic.
 
-Outputs: pool (2048-d), spatial (first 7 channels of the Mixed_6e input
-feature map, flattened — the OpenAI evaluator's sFID feature), and softmax
+Outputs: pool (2048-d), spatial (first 7 channels of the Mixed_6d OUTPUT —
+the Mixed_6e input — flattened; = TF ``mixed_6/conv:0`` channels [:7], the
+OpenAI evaluator's sFID feature, DDPM/evaluator.py:36,659-666), and softmax
 logits (1008-way in TF; 1000-way here) for the Inception Score.
 """
 
@@ -177,9 +178,19 @@ class InceptionV3(nn.Module):
         x = InceptionC(128, name="Mixed_6b")(x)
         x = InceptionC(160, name="Mixed_6c")(x)
         x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
-        # sFID spatial feature: first 7 channels of the Mixed_6e output map
+        # sFID spatial feature: the reference taps TF tensor
+        # ``mixed_6/conv:0`` then keeps channels [:7]
+        # (DDPM/evaluator.py:36,659-666). In the 2015-12-05 TF graph the
+        # mixed blocks are named mixed..mixed_10, so ``mixed_6`` is the
+        # THIRD 17x17 InceptionC block — torchvision/pytorch-fid
+        # ``Mixed_6d`` — and ``mixed_6/conv`` is the ReLU of its 1x1
+        # branch, which is FIRST in the block's concat. Its first 7
+        # channels therefore equal the first 7 channels of the Mixed_6d
+        # output (= the Mixed_6e INPUT), which is what we tap here.
+        # Confirm against the 7.4390 sFID baseline on the first
+        # real-weights run (tests/test_fid.py pins the tap location).
         spatial = x[..., :7].reshape(b, -1)
+        x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE("avg", name="Mixed_7b")(x)
         x = InceptionE("max", name="Mixed_7c")(x)

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import optax
 
 from salun.core.mask import generate_masks
-from salun.dist.topk import _bisect_kth, _f32_to_ordered_u32, _ordered_u32_to_f32
-from salun.utils.tree import flatten_names, tree_from_flat
+from salun.dist.topk import kth_largest_threshold
+from salun.utils.tree import flatten_names, tree_from_flat, tree_size
 
 from .clip_text import tokenize
 from .ldm import SDModules
@@ -228,13 +228,9 @@ def proximal_shrink(unet_params, theta_init, ratio):
     exact bisection threshold over the UNet pytree, no flat copy."""
     diffs = jax.tree.map(lambda p, t0: (p - t0).astype(jnp.float32),
                          unet_params, theta_init)
-    ords = [_f32_to_ordered_u32(jnp.abs(d).reshape(-1))
-            for d in jax.tree.leaves(diffs)]
-    n = sum(o.size for o in ords)
+    n = tree_size(diffs)
     k_largest = jnp.maximum(n - ratio + 1, 1)
-    tau_u = _bisect_kth(lambda v: sum(jnp.sum(o >= v) for o in ords),
-                        k_largest.astype(jnp.int32))
-    tau = _ordered_u32_to_f32(tau_u)
+    tau = kth_largest_threshold(jax.tree.map(jnp.abs, diffs), k_largest)
 
     def shrink(p, t0, d):
         moved = p.astype(jnp.float32) - jnp.sign(d) * tau

@@ -139,3 +139,28 @@ def test_ddpm_evaluator_cli_pipeline_check(tmp_path):
     assert rows[0][:2] == ["ref", "sample"]
     assert "fid" in rows[0] and "inception_score" in rows[0]
     assert len(rows) == 2 and len(rows[1]) == len(rows[0])
+
+
+def test_sfid_spatial_tap_is_mixed_6d_output(key):
+    """Pin the sFID tap location: the spatial feature must be the first 7
+    channels of the Mixed_6d OUTPUT (= Mixed_6e input) — the torch-side
+    equivalent of TF tensor ``mixed_6/conv:0`` [..., :7]
+    (DDPM/evaluator.py:36,659-666): the TF graph's mixed_6 is the third
+    17x17 InceptionC block and its ``conv`` branch is first in the concat,
+    so the first 7 channels of branch and block-join coincide."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from salun.evalx.inception import InceptionV3
+
+    model = InceptionV3()
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)),
+                    jnp.float32)
+    variables = model.init(key, x)
+    (pool, spatial, sm), inter = model.apply(
+        x=x, variables=variables, capture_intermediates=True,
+        mutable=["intermediates"])
+    mixed_6d = inter["intermediates"]["Mixed_6d"]["__call__"][0]
+    assert mixed_6d.shape[1:] == (17, 17, 768)
+    want = np.asarray(mixed_6d[..., :7]).reshape(1, -1)
+    np.testing.assert_array_equal(np.asarray(spatial), want)

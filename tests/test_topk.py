@@ -105,3 +105,21 @@ def test_scanned_accumulation_matches_streamed(key, rng):
     scanned = accumulate_saliency_scanned(grad_fn, params, stacked)
     for a, b in zip(jax.tree.leaves(streamed), jax.tree.leaves(scanned)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_kth_largest_threshold_pytree(rng):
+    """Public pytree kth-largest (the proximal methods' threshold): exact
+    vs numpy sort, including a traced k inside jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from salun.dist.topk import kth_largest_threshold
+
+    tree = {"a": jnp.asarray(rng.standard_normal((7, 5)), jnp.float32),
+            "b": jnp.asarray(rng.standard_normal(23), jnp.float32)}
+    flat = np.sort(np.abs(np.concatenate(
+        [np.asarray(l).ravel() for l in jax.tree.leaves(tree)])))[::-1]
+    abs_tree = jax.tree.map(jnp.abs, tree)
+    for k in (1, 3, 17, flat.size):
+        got = jax.jit(kth_largest_threshold)(abs_tree, jnp.int32(k))
+        assert float(got) == flat[k - 1], k
