@@ -32,6 +32,7 @@ per metric against our own chip's bf16 peak.
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -183,6 +184,107 @@ def bench_ddpm_salun_step():
         "vs_baseline": round(vs, 3) if vs else 0.0,
         "_flops": flops,  # internal: consumed by bench_ddpm_sampling
     }
+
+
+def bench_ddpm_chain():
+    """DDPM north-star chain (VERDICT r3 #4): mask generation over the
+    5,000-image forget class + the full 1,000-iteration saliency unlearn
+    at the reference recipe (configs/cifar10_saliency_unlearn.yml: bs 128
+    remain + 128 forget, Adam 1e-4, grad clip 1.0, mask with_0.5;
+    DDPM/README.md:39) as ONE wall-clock.
+
+    A100 baseline: same derivation as the classification chain — the
+    reference runs this loop in eager fp32 torch via DataParallel
+    (diffusion.py:482-619), granted 30% MFU of the 156 TFLOP/s TF32 peak
+    on the unlearn steps' XLA-counted FLOPs; mask-gen FLOPs are EXCLUDED
+    from the baseline while its wall-clock is included in ours
+    (conservative, baseline's favor). Batches are synthetic and
+    device-resident — both sides' accounting excludes host IO."""
+    _log({"phase": "ddpm_chain_start"})
+    from salun.diffusion import DiffusionSchedule, UNetConfig
+    from salun.diffusion.runner import DDPMRunner, DDPMTrainConfig, \
+        make_optimizer
+
+    bs, n_iters = 128, 1000
+    cfgt = DDPMTrainConfig(ema=False, method="rl", alpha=1e-3, lr=1e-4,
+                           batch_size=bs, n_iters=n_iters)
+    unet_cfg = UNetConfig(dtype=jnp.bfloat16)
+    schedule = DiffusionSchedule.create(
+        beta_schedule="linear", beta_start=1e-4, beta_end=2e-2,
+        num_diffusion_timesteps=1000, var_type="fixedlarge")
+    runner = DDPMRunner(unet_cfg, schedule, cfgt)
+    params = runner.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+
+    def batch(label, n=bs):
+        return {
+            "image": jnp.asarray(
+                rng.randint(0, 255, (n, 32, 32, 3), np.uint8)),
+            "label": jnp.full((n,), label, jnp.int32),
+        }
+
+    # ---- stage 1: mask generation (diffusion.py:933-1039 — one pass over
+    # the forget class, 5,000 CIFAR images at the config batch size)
+    forget_batches = [batch(0) for _ in range(5000 // bs)]
+    # warm the two programs (acc step + threshold) on the first batch
+    runner.generate_mask(params, forget_batches[:1], jax.random.PRNGKey(9))
+    t0 = time.perf_counter()
+    masks = runner.generate_mask(params, forget_batches,
+                                 jax.random.PRNGKey(10))
+    mask = masks[0.5]
+    jax.tree.leaves(mask)[0].block_until_ready()
+    maskgen_s = time.perf_counter() - t0
+
+    # ---- stage 2: 1,000-iter masked RL saliency unlearn
+    tx = make_optimizer(cfgt, mask=mask)
+    opt_state = tx.init(params)
+    carry = (params, opt_state, None)
+    step = runner.make_saliency_unlearn_step(tx, mask=mask)
+    remain, forget = batch(1), batch(0)
+
+    chunk = 100
+
+    @jax.jit
+    def run_chunk(carry, remain, forget, key):
+        def body(c, k):
+            return step(c, remain, forget, k)
+
+        return jax.lax.scan(body, carry, jax.random.split(key, chunk))
+
+    _log({"phase": "ddpm_chain_aot_start"})
+    crun, _ = _aot(run_chunk, carry, remain, forget, jax.random.PRNGKey(1))
+    # per-step FLOPs from the single-step program (XLA counts a scan body
+    # once regardless of trip count)
+    _, flops_step = _aot(step, carry, remain, forget, jax.random.PRNGKey(1))
+    _log({"phase": "ddpm_chain_aot_done"})
+    carry, losses = crun(carry, remain, forget, jax.random.PRNGKey(2))
+    float(losses[-1])  # warm + force
+
+    t0 = time.perf_counter()
+    for i in range(n_iters // chunk):
+        carry, losses = crun(carry, remain, forget,
+                             jax.random.PRNGKey(20 + i))
+    float(losses[-1])  # serial carry: last fetch forces all chunks
+    unlearn_s = time.perf_counter() - t0
+
+    chain_s = maskgen_s + unlearn_s
+    flops_total = flops_step * n_iters
+    baseline_s = (flops_total / (A100_TF32_PEAK * A100_ASSUMED_MFU)
+                  if flops_total else None)
+    vs = baseline_s / chain_s if baseline_s else None
+    peak, kind = _peak()
+    _log({"metric": "ddpm_saliency_chain",
+          "maskgen_s": round(maskgen_s, 2),
+          "unlearn_1000iter_s": round(unlearn_s, 2),
+          "chain_s": round(chain_s, 2),
+          "flops_per_step": flops_step,
+          "in_chain_mfu": round(flops_total / unlearn_s / peak, 4)
+          if flops_total else None,
+          "a100_baseline_s": round(baseline_s, 2) if baseline_s else None,
+          "vs_baseline_per_chip": round(vs, 3) if vs else None,
+          "device": kind})
+    return vs
 
 
 # ------------------------------------------------------------- sampling
@@ -504,71 +606,127 @@ def bench_salun_chain(maskgen_s):
 
 
 def bench_sd_step():
-    """The third workload's hot loop at the TRUE v1-inference shape
-    (SD/train-scripts/random_label.py:66-143): VAE-encode a 512×512 batch
-    + 859.5M-param U-Net fwd+bwd at latent 64×64 with 77×768 text context,
-    bf16 compute. Timing: in-graph lax.scan with a carried data dependency
-    and a forced scalar fetch (python-loop timing is unreliable on the
-    axon remote backend). FLOPs: XLA cost model of the scan program — the
-    scan body is counted once, so the figure IS per-step."""
+    """The third workload's hot loop as the FULL COMPOSED random_label
+    step at the true v1-inference shape (SD/train-scripts/
+    random_label.py:66-143): per step, THREE VAE posterior encodes of
+    512×512 batches (remain + forget + the pseudo resample), three CLIP
+    text encodes, three 859.5M-param U-Net passes at latent 64×64 (remain
+    fwd+bwd, forget fwd+bwd, pseudo fwd, one backward through the total
+    loss), grad×saliency-mask, Adam over the full subset — ONE jitted
+    step (salun.sd.trainers.make_random_label_step), bf16 compute.
+
+    Swept over batch sizes {1, 4, 8} — 8 is the reference recipe default
+    (random_label.py:236); the vs_baseline figure is quoted at bs 8. The
+    A100 baseline uses the same model as the DDPM headline: the reference
+    runs this step in eager fp32 torch (no autocast anywhere), so grant
+    it 30% MFU of the A100 TF32 peak on the step's XLA-counted FLOPs.
+    Timing: best-of-3 calls of a 3-iteration in-graph lax.scan with a
+    carried data dependency (ADVICE r3: one timed call carries too much
+    jitter). Falls back to mask=None and then to smaller batches on OOM
+    (859.5M params + Adam moments + mask is HBM-tight on a 16 GB v5e)."""
     _log({"phase": "sd_start"})
+    import optax
+
+    from salun.core import threshold_mask
     from salun.sd import SDModules, SDUNetConfig, VAEConfig
+    from salun.sd.clip_text import CLIPTextConfig
+    from salun.sd.trainers import make_random_label_step, with_mask
 
     modules = SDModules.create(SDUNetConfig(dtype=jnp.bfloat16),
                                VAEConfig(dtype=jnp.bfloat16),
+                               CLIPTextConfig(dtype=jnp.bfloat16),
                                num_timesteps=1000)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    zc = modules.vae.cfg.z_channels
-    unet_p = modules.unet.init(k1, jnp.zeros((1, 64, 64, zc)),
-                               jnp.zeros((1,)), jnp.zeros((1, 77, 768))
-                               )["params"]
-    vae_p = modules.vae.init(k2, jnp.zeros((1, 512, 512, 3)), k2)["params"]
-    params = {"unet": unet_p, "vae": vae_p}
-
-    b, iters = 1, 5
-
-    def one_step(params, images, context, key):
-        ke, kt, kn = jax.random.split(key, 3)
-        z0 = modules.encode_image(params, images, ke)
-        t = jax.random.randint(kt, (images.shape[0],), 0, 1000)
-        noise = jax.random.normal(kn, z0.shape)
-
-        def loss_fn(unet_params):
-            z_t = modules.q_sample(z0, t, noise)
-            out = modules.unet.apply(
-                {"params": unet_params}, z_t, t.astype(jnp.float32), context)
-            return jnp.square(noise - out).mean()
-
-        loss, _ = jax.value_and_grad(loss_fn)(params["unet"])
-        return loss
-
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(b, 512, 512, 3).astype(np.float32) * 2 - 1)
-    context = jnp.asarray(rng.randn(b, 77, 768).astype(np.float32))
+    params = modules.init(jax.random.PRNGKey(0), image_size=64)
+    # HBM discipline (16 GB v5e): the step rebuilds dict(frozen,
+    # unet=carry) itself, so the frozen dict must NOT carry a second
+    # 3.44 GB f32 U-Net — keep the pristine U-Net on the HOST and
+    # device_put a fresh trainee per config. Persistent device footprint:
+    # carry 3.44 + Adam moments 6.88 + VAE/CLIP 0.83 + bf16 mask 1.72
+    # ≈ 12.9 GB (the full-params variant is 16.3 GB and OOMs before the
+    # first activation).
+    unet_host = jax.device_get(params["unet"])
+    frozen = {"vae": params["vae"], "clip": params["clip"]}
+    del params
 
     @jax.jit
-    def run(params, images, context, key):
-        def body(carry, k):
-            loss = one_step(params, carry, context, k)
-            return carry + (0.0 * loss).astype(carry.dtype), loss
+    def _mk_mask(unet_params):
+        sal = jax.tree.map(
+            lambda p: jnp.abs(jax.random.normal(
+                jax.random.PRNGKey(1), p.shape)), unet_params)
+        # bf16 mask: 0/1 values are exact, halves the 3.4 GB f32 footprint
+        return jax.tree.map(lambda m: m.astype(jnp.bfloat16),
+                            threshold_mask(sal, 0.5))
 
-        imgs_f, losses = jax.lax.scan(body, images,
-                                      jax.random.split(key, iters))
-        return jnp.sum(imgs_f.astype(jnp.float32)) + jnp.sum(losses)
-
-    _log({"phase": "sd_aot_start"})
-    crun, flops = _aot(run, params, images, context, jax.random.PRNGKey(1))
-    _log({"phase": "sd_aot_done"})
-    float(crun(params, images, context, jax.random.PRNGKey(2)))  # warm
-    t0 = time.perf_counter()
-    float(crun(params, images, context, jax.random.PRNGKey(3)))
-    dt = (time.perf_counter() - t0) / iters
+    rng = np.random.RandomState(0)
     peak, kind = _peak()
-    _log({"metric": "sd_v1_train_step", "ms_per_step": round(dt * 1e3, 1),
-          "images_per_sec": round(b / dt, 2),
-          "flops_per_step": flops,
-          "mfu": round(flops / dt / peak, 4) if flops else None,
-          "device": kind, "batch": b})
+    iters, best_at_recipe = 3, None
+
+    def run_cfg(b, use_mask):
+        unet0 = jax.device_put(unet_host)
+        mask = _mk_mask(unet0) if use_mask else None
+        tx = with_mask(optax.adam(1e-5), mask)
+        carry = (unet0, tx.init(unet0))
+        step = make_random_label_step(modules, tx, alpha=0.5)
+        batch = {
+            "forget_images": jnp.asarray(
+                rng.rand(b, 512, 512, 3).astype(np.float32) * 2 - 1),
+            "remain_images": jnp.asarray(
+                rng.rand(b, 512, 512, 3).astype(np.float32) * 2 - 1),
+            "forget_ids": jnp.asarray(rng.randint(0, 49408, (b, 77))),
+            "pseudo_ids": jnp.asarray(rng.randint(0, 49408, (b, 77))),
+            "remain_ids": jnp.asarray(rng.randint(0, 49408, (b, 77))),
+        }
+
+        # donate the carry: 859.5M params + Adam moments must update
+        # in place, or the un-donated copy alone overflows HBM
+        @partial(jax.jit, donate_argnums=0)
+        def run(carry, batch, key):
+            def body(c, k):
+                c, loss = step(c, frozen, batch, k)
+                return c, loss
+
+            carry, losses = jax.lax.scan(body, carry,
+                                         jax.random.split(key, iters))
+            return carry, losses[-1]
+
+        _log({"phase": f"sd_aot_start_b{b}_mask{int(use_mask)}"})
+        crun, flops = _aot(run, carry, batch, jax.random.PRNGKey(1))
+        _log({"phase": "sd_aot_done"})
+        carry, loss = crun(carry, batch, jax.random.PRNGKey(2))  # warm
+        float(loss)
+        best = None
+        for rep in range(3):                       # best-of-3 (ADVICE r3)
+            t0 = time.perf_counter()
+            carry, loss = crun(carry, batch, jax.random.PRNGKey(3 + rep))
+            float(loss)
+            dt = (time.perf_counter() - t0) / iters
+            best = dt if best is None else min(best, dt)
+        flops_step = flops / iters if flops else 0.0
+        baseline_s = (flops_step / (A100_TF32_PEAK * A100_ASSUMED_MFU)
+                      if flops_step else None)
+        vs = baseline_s / best if baseline_s else None
+        _log({"metric": "sd_v1_random_label_step",
+              "ms_per_step": round(best * 1e3, 1),
+              "images_per_sec": round(b / best, 2),
+              "flops_per_step": flops_step,
+              "mfu": round(flops_step / best / peak, 4) if flops_step
+              else None,
+              "vs_a100_baseline": round(vs, 3) if vs else None,
+              "device": kind, "batch": b, "masked": use_mask})
+        return vs
+
+    for b in (1, 4, 8):
+        vs = None
+        for use_mask in (True, False):
+            try:
+                vs = run_cfg(b, use_mask)
+                break
+            except Exception as e:
+                _log({"sd_bench_oom_or_error": repr(e), "batch": b,
+                      "masked": use_mask})
+        if b == 8 and vs is not None:
+            best_at_recipe = vs
+    return best_at_recipe
 
 
 # ------------------------------------------------- classification RL step
@@ -696,9 +854,14 @@ def main():
             ddpm = bench_ddpm_salun_step()
         bench_ddpm_sampling(step_flops=ddpm.get("_flops"))
         bench_resnet_rl()
+        bench_ddpm_chain()
         bench_sd_step()
     except Exception as e:
         _log({"secondary_bench_error": repr(e)})
+    # Re-print the headline LAST: the driver's artifact parses the final
+    # JSON line of the combined stream (BENCH_r03.json's "parsed" field
+    # captured a stderr secondary instead of the headline).
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -268,6 +268,60 @@ def load_ddpm_states(path: str):
     return model_sd, step, ema_sd
 
 
+def export_ddpm_unet(params) -> Dict[str, np.ndarray]:
+    """Our ConditionalUNet params → torch Conditional_Model state-dict
+    names/layouts (the exact inverse of :func:`import_ddpm_unet`) — for
+    writing reference-format DDPM checkpoints
+    (runners/diffusion.py:252-265) that the reference's own tooling (or
+    our importer, in the preflight rehearsal) can consume."""
+    import re
+
+    from salun.utils.tree import flatten_names
+
+    out: Dict[str, np.ndarray] = {}
+    for flat, v in flatten_names(params).items():
+        arr = np.asarray(v)
+        if flat == "null_classes_emb":
+            out[flat] = arr
+            continue
+        mod, leaf = flat.rsplit("/", 1)
+        # leaf layout inversion
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                arr, tleaf = arr.transpose(3, 2, 0, 1), "weight"
+            else:
+                arr, tleaf = arr.T, "weight"
+        elif leaf == "scale":
+            tleaf = "weight"
+        elif leaf == "embedding":
+            tleaf = "weight"
+        else:
+            tleaf = leaf  # bias
+        # module-name inversion (see import_ddpm_unet.map_name)
+        m = re.fullmatch(r"(temb|cemb)_dense(\d+)", mod)
+        if m:
+            name = f"{m.group(1)}.dense.{m.group(2)}"
+        elif mod == "classes_emb":
+            name = "classes_emb"
+        elif mod in ("conv_in", "conv_out", "norm_out"):
+            name = mod
+        elif re.fullmatch(r"(down|up)_\d+_(block|attn)_\d+/\w+", mod):
+            side, lvl, kind, idx, sub = re.fullmatch(
+                r"(down|up)_(\d+)_(block|attn)_(\d+)/(\w+)", mod).groups()
+            name = f"{side}.{lvl}.{kind}.{idx}.{sub}"
+        elif re.fullmatch(r"(down|up)_\d+_(downsample|upsample)/conv", mod):
+            side, lvl, kind = re.fullmatch(
+                r"(down|up)_(\d+)_(downsample|upsample)/conv", mod).groups()
+            name = f"{side}.{lvl}.{kind}.conv"
+        elif re.fullmatch(r"mid_\w+/\w+", mod):
+            blk, sub = mod[len("mid_"):].split("/")
+            name = f"mid.{blk}.{sub}"
+        else:
+            raise KeyError(flat)
+        out[f"{name}.{tleaf}"] = arr
+    return out
+
+
 def import_ddpm_unet(sd: dict, params_template):
     """torch Conditional_Model state dict → our ConditionalUNet params.
 

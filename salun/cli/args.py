@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_y_file", type=str, default="./labels/val_ys.pth")
 
     # General
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count: build a (data,) mesh "
+                        "over the first N devices and shard every batch "
+                        "over it (0/1 = single device). The TPU-native "
+                        "replacement for the reference's DataParallel "
+                        "(DDPM/runners/diffusion.py:203).")
     p.add_argument("--seed", default=2, type=int)
     p.add_argument("--train_seed", default=1, type=int)
     p.add_argument("--gpu", type=int, default=0, help="unused on TPU")

@@ -50,6 +50,12 @@ def parse_args(argv=None):
                    help="resume {params, opt_state, step, ema} from "
                         "save_dir/ckpt (parity: --resume_training, "
                         "DDPM/runners/diffusion.py:213-218)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count (0/1 = single device). "
+                        "The product-path replacement for the reference's "
+                        "DataParallel wrap of the U-Net "
+                        "(DDPM/runners/diffusion.py:203,504,628): state "
+                        "replicates, batches shard, GSPMD all-reduces.")
     return p.parse_args(argv)
 
 
@@ -69,6 +75,16 @@ def _load_params(runner, args, key):
 
 def main(argv=None):
     args = parse_args(argv)
+    from salun.dist import context as dist_ctx
+
+    mesh = dist_ctx.mesh_from_flags(args.dp)
+    with dist_ctx.activate(mesh):
+        return _main(args, mesh)
+
+
+def _main(args, mesh):
+    from salun.dist import context as dist_ctx
+
     logging.basicConfig(level=logging.INFO)
     os.makedirs(args.save_dir, exist_ok=True)
     seed_all(args.seed)
@@ -83,6 +99,8 @@ def main(argv=None):
     train_ds = ddpm_data.get_dataset(bundle.dataset, args.data, train=True,
                                      image_size=bundle.unet.image_size)
     params = _load_params(runner, args, key)
+    if mesh is not None:
+        params = dist_ctx.place_replicated(params, mesh)
 
     if args.mode == "generate_mask":
         _, forget = ddpm_data.get_forget_dataset(train_ds, args.label_to_forget)
@@ -122,6 +140,8 @@ def main(argv=None):
         else:
             mask = ckpt.restore(args.mask_path)["mask"]
 
+    if mask is not None and mesh is not None:
+        mask = dist_ctx.place_replicated(mask, mesh)
     tx = make_optimizer(cfgt, mask=mask)
     opt_state = tx.init(params)
     shadow = jax.tree.map(jnp.copy, params) if cfgt.ema else None
@@ -138,6 +158,8 @@ def main(argv=None):
             shadow = ckpt.from_state_dict(shadow, raw["ema"])
         start_step = int(raw.get("step", 0))
         carry = (params, opt_state, shadow)
+        if mesh is not None:
+            carry = dist_ctx.place_replicated(carry, mesh)
         logging.info(f"resume from {resume_path} at step {start_step}")
 
     t0 = time.time()
@@ -152,7 +174,7 @@ def main(argv=None):
             next(loader)
         for step in range(start_step, cfgt.n_iters):
             sub = jax.random.fold_in(key, step)
-            batch = jax.tree.map(jnp.asarray, next(loader))
+            batch = dist_ctx.ingest(next(loader))
             carry, loss = step_fn(carry, batch, sub)
             if (step + 1) % cfgt.log_freq == 0:
                 logging.info(f"step {step} loss {float(loss):.4f} "
@@ -172,8 +194,8 @@ def main(argv=None):
         for step in range(start_step, cfgt.n_iters):
             sub = jax.random.fold_in(key, step)
             carry, loss = step_fn(
-                carry, jax.tree.map(jnp.asarray, next(remain_it)),
-                jax.tree.map(jnp.asarray, next(forget_it)), sub,
+                carry, dist_ctx.ingest(next(remain_it)),
+                dist_ctx.ingest(next(forget_it)), sub,
             )
             if (step + 1) % cfgt.log_freq == 0:
                 logging.info(f"step {step} loss {float(loss):.4f} "
@@ -184,6 +206,8 @@ def main(argv=None):
         # SA baseline: needs the FIM dict + generated class samples
         fim_path = os.path.join(args.ckpt_folder or args.save_dir, "fisher")
         fisher = ckpt.restore(fim_path)["fim"]
+        if mesh is not None:
+            fisher = dist_ctx.place_replicated(fisher, mesh)
         samples_dir = os.path.join(args.ckpt_folder or ".", "class_samples")
         remember_ds = ddpm_data.image_folder_dataset(
             samples_dir, image_size=bundle.unet.image_size)
@@ -197,8 +221,7 @@ def main(argv=None):
             next(loader)
         for step in range(start_step, cfgt.n_iters):
             sub = jax.random.fold_in(key, step)
-            carry, loss = step_fn(carry, jax.tree.map(jnp.asarray, next(loader)),
-                                  sub)
+            carry, loss = step_fn(carry, dist_ctx.ingest(next(loader)), sub)
             if (step + 1) % cfgt.log_freq == 0:
                 logging.info(f"step {step} loss {float(loss):.4f}")
             if (step + 1) % cfgt.snapshot_freq == 0:

@@ -56,19 +56,24 @@ def save_gradient_ratio(loaders, model, params, batch_stats, args):
                                 len(batches))
         for b, k in zip(batches, keys):
             b["aug_key"] = k
+    from salun.dist import context as dist_ctx
+
     same_shape = len({b["image"].shape for b in batches}) == 1
     if same_shape and len(batches) > 1:
         # fast path: the whole forget epoch as ONE dispatched lax.scan
         # (the reference recipes' forget sets are a few thousand images -
         # stacking on device is cheap, and per-batch dispatch latency
-        # dominates the streamed variant on a remote backend)
-        stacked = jax.tree.map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+        # dominates the streamed variant on a remote backend). dim 0 is
+        # the step axis; the batch axis shards over an active --dp mesh.
+        import numpy as np
+
+        stacked = dist_ctx.ingest(
+            jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                         *batches), dim=1)
         sal = accumulate_saliency_scanned(grad_fn, params, stacked)
     else:
         sal = accumulate_saliency(
-            grad_fn, params,
-            (jax.tree.map(jnp.asarray, b) for b in batches),
+            grad_fn, params, (dist_ctx.ingest(b) for b in batches),
         )
     masks = generate_masks(sal, DEFAULT_THRESHOLDS)
     for t, m in masks.items():
@@ -78,6 +83,19 @@ def save_gradient_ratio(loaders, model, params, batch_stats, args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from salun.dist import context as dist_ctx
+
+    # --dp N: the saliency accumulation shards batches over the mesh; the
+    # per-batch grads are psum'd by GSPMD and the exact global top-k runs
+    # on the replicated accumulator (salun/dist/context.py)
+    mesh = dist_ctx.mesh_from_flags(args.dp)
+    with dist_ctx.activate(mesh):
+        return _main(args, mesh)
+
+
+def _main(args, mesh):
+    from salun.dist import context as dist_ctx
+
     os.makedirs(args.save_dir, exist_ok=True)
     seed_all(args.seed)
 
@@ -93,6 +111,9 @@ def main(argv=None):
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     if args.model_path:
         params, batch_stats = _load_model(args.model_path, params, batch_stats)
+    if mesh is not None:
+        params = dist_ctx.place_replicated(params, mesh)
+        batch_stats = dist_ctx.place_replicated(batch_stats, mesh)
 
     save_gradient_ratio(loaders, model, params, batch_stats, args)
 

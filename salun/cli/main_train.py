@@ -30,6 +30,18 @@ from salun.utils.rng import seed_all
 
 def main(argv=None):
     args = parse_args(argv)
+    from salun.dist import context as dist_ctx
+
+    # --dp N: data-parallel pretraining (batches shard, state replicates,
+    # GSPMD all-reduces grads over ICI) — see salun/dist/context.py
+    mesh = dist_ctx.mesh_from_flags(args.dp)
+    with dist_ctx.activate(mesh):
+        return _main(args, mesh)
+
+
+def _main(args, mesh):
+    from salun.dist import context as dist_ctx
+
     os.makedirs(args.save_dir, exist_ok=True)
     key = seed_all(args.seed)
 
@@ -48,6 +60,8 @@ def main(argv=None):
 
     size = 224 if args.imagenet_arch else 32
     variables = model.init(key, jnp.zeros((1, size, size, 3)), train=False)
+    if mesh is not None:
+        variables = dist_ctx.place_replicated(variables, mesh)
     state = TrainState.create(variables, tx)
     step = make_train_step(model, tx, use_augment=not args.no_aug,
                            num_classes=args.num_classes)
@@ -62,6 +76,8 @@ def main(argv=None):
         # of state.step here, so restoring the state restores the schedule.
         raw = ckpt.restore(ckpt_path)
         state = ckpt.from_state_dict(state, raw["state"])
+        if mesh is not None:
+            state = dist_ctx.place_replicated(state, mesh)
         start_epoch = int(np.asarray(raw["epoch"]))
         best_sa = float(np.asarray(raw["best_sa"]))
         curves = {k: [float(x) for x in np.asarray(v)]

@@ -28,8 +28,8 @@ from salun.sd import SDModules, data as sd_data, import_compvis, \
     load_compvis_state_dict, tokenize
 from salun.sd.trainers import (
     make_esd_step, make_gradient_ascent_step, make_random_label_step,
-    make_sd_optimizer, proximal_shrink, sd_generate_mask, trainable_mask,
-    with_mask,
+    make_sd_optimizer, proximal_ratio, proximal_shrink, sd_generate_mask,
+    trainable_mask, with_mask,
 )
 from salun.utils.rng import seed_all
 from salun.utils.tree import tree_size
@@ -51,6 +51,15 @@ def _common(p):
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="results/sd")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count (0/1 = single device): "
+                        "batches shard over a (data,) mesh, state "
+                        "replicates, GSPMD all-reduces")
+    p.add_argument("--fsdp", action="store_true",
+                   help="with --dp: shard U-Net params, Adam moments, and "
+                        "the saliency mask over the data axis (ZeRO-3, "
+                        "salun/dist/fsdp.py) — 859.5M-param SD v1 state "
+                        "fits a v5e-8 comfortably only sharded")
 
 
 def parse_args(argv=None):
@@ -129,6 +138,16 @@ def load_unet_mask(args, unet_params):
 
 def main(argv=None):
     args = parse_args(argv)
+    from salun.dist import context as dist_ctx
+
+    mesh = dist_ctx.mesh_from_flags(args.dp)
+    with dist_ctx.activate(mesh):
+        return _main(args, mesh)
+
+
+def _main(args, mesh):
+    from salun.dist import context as dist_ctx
+
     os.makedirs(args.save_dir, exist_ok=True)
     seed_all(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -139,6 +158,8 @@ def main(argv=None):
     else:
         modules = SDModules.create()
     params = load_params(modules, args, key)
+    if mesh is not None:
+        params = dist_ctx.place_replicated(params, mesh)
     latent = args.image_size // 8
 
     if args.cmd == "generate_mask":
@@ -157,12 +178,24 @@ def main(argv=None):
         return
 
     mask = load_unet_mask(args, params["unet"])
+    unet0 = params["unet"]
+    if args.fsdp and mesh is not None:
+        # ZeRO-3: shard trainee params + frozen copy + mask BEFORE tx.init
+        # so the eagerly-copied opt-state mask/moments inherit the sharding
+        from salun.dist.fsdp import fsdp_pspecs, shard_fsdp
+
+        pspecs = fsdp_pspecs(unet0, mesh)
+        unet0 = shard_fsdp(unet0, mesh, pspecs)
+        params = dict(params, unet=shard_fsdp(params["unet"], mesh, pspecs))
+        if mask is not None:
+            mask = shard_fsdp(mask, mesh, pspecs)
+    elif mask is not None and mesh is not None:
+        mask = dist_ctx.place_replicated(mask, mesh)
     # saliency masking rides in the optimizer state (trainers.with_mask) —
     # init AFTER wrapping so the opt-state structure matches the step's tx
     tx = with_mask(
-        make_sd_optimizer(params["unet"], args.lr, args.train_method), mask)
-    carry = (jax.tree.map(jnp.copy, params["unet"]),
-             tx.init(params["unet"]))
+        make_sd_optimizer(unet0, args.lr, args.train_method), mask)
+    carry = (jax.tree.map(jnp.copy, unet0), tx.init(unet0))
 
     if args.cmd in ("random_label", "gradient_ascent", "proximal"):
         ds = sd_data.load_imagenette(args.data, args.image_size)
@@ -174,11 +207,16 @@ def main(argv=None):
         step = step_maker(modules, tx, alpha=args.alpha)
         theta_init = (jax.tree.map(jnp.copy, carry[0])
                       if args.cmd == "proximal" else None)
-        n_params = tree_size(carry[0])
-        steps_per_epoch = max(len(forget) // args.batch_size, 1)
-        total_steps = args.epochs * steps_per_epoch
+        # the reference's ratio schedule counts the WHOLE model's params
+        # (frozen VAE/CLIP included as zero diffs) and a per-epoch
+        # denominator of forget+remain batch counts (proximal_gradient.py:
+        # 66-73,144-150); see trainers.proximal_ratio/proximal_shrink
+        n_total = tree_size(params)
+        n_frozen = n_total - tree_size(carry[0])
+        nf_batches = max(len(forget) // args.batch_size, 1)
+        nr_batches = -(-len(remain) // args.batch_size)  # ceil, DataLoader len
+        steps_per_epoch = nf_batches
         rng = np.random.RandomState(args.seed)
-        count = 0
         for epoch in range(args.epochs):
             order_f = rng.permutation(len(forget))
             order_r = rng.permutation(len(remain))
@@ -189,24 +227,25 @@ def main(argv=None):
                     continue
                 f_lab = forget.targets[fi]
                 r_lab = remain.targets[ri]
-                batch = {
-                    "forget_images": jnp.asarray(sd_data.to_pm1(forget.data[fi])),
-                    "remain_images": jnp.asarray(sd_data.to_pm1(remain.data[ri])),
-                    "forget_ids": jnp.asarray(tokenize(
-                        [sd_data.DESCRIPTIONS[c] for c in f_lab])),
-                    "pseudo_ids": jnp.asarray(tokenize(
-                        [sd_data.DESCRIPTIONS[pseudo_cls]] * len(fi))),
-                    "remain_ids": jnp.asarray(tokenize(
-                        [sd_data.DESCRIPTIONS[c] for c in r_lab])),
-                }
+                batch = dist_ctx.ingest({
+                    "forget_images": sd_data.to_pm1(forget.data[fi]),
+                    "remain_images": sd_data.to_pm1(remain.data[ri]),
+                    "forget_ids": tokenize(
+                        [sd_data.DESCRIPTIONS[c] for c in f_lab]),
+                    "pseudo_ids": tokenize(
+                        [sd_data.DESCRIPTIONS[pseudo_cls]] * len(fi)),
+                    "remain_ids": tokenize(
+                        [sd_data.DESCRIPTIONS[c] for c in r_lab]),
+                })
                 key, sub = jax.random.split(key)
                 carry, loss = step(carry, params, batch, sub)
                 if args.cmd == "proximal":
-                    frac = (total_steps - (count + 1)) / total_steps
-                    ratio = max(int(args.mask_ratio * frac * n_params), 1)
-                    carry = (proximal_shrink(carry[0], theta_init,
-                                             jnp.int32(ratio)), carry[1])
-                count += 1
+                    ratio = proximal_ratio(
+                        args.mask_ratio, epoch, i, nf_batches, nr_batches,
+                        args.epochs, n_total) - n_frozen
+                    if ratio >= 1:
+                        carry = (proximal_shrink(carry[0], theta_init,
+                                                 jnp.int32(ratio)), carry[1])
             print(f"epoch {epoch} loss {float(loss):.4f}")
     elif args.cmd == "nsfw_removal":
         forget_ds = sd_data.load_image_folder(args.forget_dir, args.image_size)
@@ -223,13 +262,13 @@ def main(argv=None):
                 ri = order_r[(i * args.batch_size) % len(remain_ds):][:args.batch_size]
                 if len(ri) < args.batch_size:
                     continue
-                batch = {
-                    "forget_images": jnp.asarray(sd_data.to_pm1(forget_ds.data[fi])),
-                    "remain_images": jnp.asarray(sd_data.to_pm1(remain_ds.data[ri])),
-                    "forget_ids": jnp.asarray(ids_nude),
-                    "pseudo_ids": jnp.asarray(ids_wear),
-                    "remain_ids": jnp.asarray(ids_wear),
-                }
+                batch = dist_ctx.ingest({
+                    "forget_images": sd_data.to_pm1(forget_ds.data[fi]),
+                    "remain_images": sd_data.to_pm1(remain_ds.data[ri]),
+                    "forget_ids": ids_nude,
+                    "pseudo_ids": ids_wear,
+                    "remain_ids": ids_wear,
+                })
                 key, sub = jax.random.split(key)
                 carry, loss = step(carry, params, batch, sub)
             print(f"epoch {epoch} loss {float(loss):.4f}")
@@ -252,11 +291,21 @@ def main(argv=None):
     new_params = dict(params, unet=carry[0])
     ckpt_store.save(os.path.join(args.save_dir, "ckpt"),
                     {"params": new_params})
-    # CompVis-keyed export for interop (random_label.py:175-190)
-    from salun.sd.import_ckpt import export_compvis_unet
+    # CompVis-format export for interop (random_label.py:146-199
+    # save_model writes the full model.state_dict() as a torch .pt that
+    # the reference's eval tooling loads); npz fallback without torch
+    from salun.sd.import_ckpt import export_compvis, export_compvis_unet
 
-    np.savez(os.path.join(args.save_dir, "unet_compvis.npz"),
-             **export_compvis_unet(carry[0]))
+    try:
+        import torch
+
+        torch.save(
+            {"state_dict": {k: torch.tensor(v) for k, v in
+                            export_compvis(new_params).items()}},
+            os.path.join(args.save_dir, "compvis.ckpt"))
+    except ImportError:
+        np.savez(os.path.join(args.save_dir, "unet_compvis.npz"),
+                 **export_compvis_unet(carry[0]))
 
 
 if __name__ == "__main__":

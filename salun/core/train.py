@@ -111,7 +111,13 @@ def make_train_step(
         ka, kl = jax.random.split(key)
         img = to_float(batch["image"])
         if use_augment:
-            img = augment(ka, img)
+            # cast to the model's compute dtype BEFORE augmenting: crop +
+            # flip are pure selection, so cast-then-augment equals
+            # augment-then-cast bitwise — but bf16 selection runs on the
+            # native single-pass MXU path while f32 needs the 6-pass
+            # HIGHEST einsum (see data/loader.py::augment). fp32 recipes
+            # keep the exact HIGHEST path unchanged.
+            img = augment(ka, img.astype(getattr(model, "dtype", img.dtype)))
         label = batch["label"]
         if random_labels:
             label = jax.random.randint(kl, label.shape, 0, num_classes)
@@ -199,8 +205,12 @@ def _stack_epoch(loader):
     if len({b["image"].shape for b in batches}) != 1:
         # non-uniform (pad_final disabled): stream the materialized list
         return None, batches
-    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
-               for k in batches[0]}
+    from salun.dist import context as dist_ctx
+
+    # dim 0 is the step axis; the batch axis (dim 1) shards over an
+    # active --dp mesh (salun.dist.context)
+    stacked = dist_ctx.ingest(
+        {k: np.stack([b[k] for b in batches]) for k in batches[0]}, dim=1)
     return stacked, batches
 
 
@@ -225,10 +235,12 @@ def run_epoch(step, state, loader, key):
     if stacked is not None:
         return _epoch_scan_for(step)(state, stacked, key)
 
+    from salun.dist import context as dist_ctx
+
     m = None
     for b in loader:
         key, sub = jax.random.split(key)
-        state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+        state, m = step(state, dist_ctx.ingest(b), sub)
     return state, m, key
 
 
@@ -275,10 +287,12 @@ def run_epoch_folded(step, state, loader, key, step_offset: int):
         return _epoch_scan_folded_for(step)(
             state, stacked, key, jnp.int32(step_offset))
 
+    from salun.dist import context as dist_ctx
+
     m = None
     for i, b in enumerate(loader):
         sub = jax.random.fold_in(key, step_offset + i)
-        state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+        state, m = step(state, dist_ctx.ingest(b), sub)
     return state, m
 
 
@@ -307,10 +321,12 @@ def make_eval_step(model):
 
 def validate(model, state: TrainState, loader) -> float:
     """Top-1 accuracy in %, parity with trainer/val.py."""
+    from salun.dist import context as dist_ctx
+
     step = make_eval_step(model)
     correct = total = 0.0
     for batch in loader:
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = dist_ctx.ingest(batch)
         c, t = step(state.params, state.batch_stats, batch)
         correct += float(c)
         total += float(t)

@@ -129,14 +129,18 @@ def augment(key: jax.Array, image: jnp.ndarray, pad: int = 4) -> jnp.ndarray:
     cols = jnp.where(flips[:, None], cols_rev, cols_fwd)
     C = jax.nn.one_hot(cols, wp, dtype=image.dtype)
 
-    # precision HIGHEST: with the default TPU matmul precision the f32
-    # image operand would be truncated to bf16 inside the MXU, breaking
-    # the bitwise-equality guarantee for fp32 recipes (the selector is
-    # exact either way — each output element sums exactly one nonzero
-    # product). For bf16 inputs this is the native path already.
-    hi = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("nip,npqc->niqc", R, padded, precision=hi)
-    return jnp.einsum("njq,niqc->nijc", C, y, precision=hi)
+    # Precision: each output element sums exactly one nonzero product, so
+    # the result is bitwise-equal to the dynamic-slice formulation iff the
+    # 1.0·x products survive the MXU unrounded. Measured on v5e: f32 needs
+    # HIGHEST (DEFAULT truncates x to bf16, max err 2e-3; HIGH/bf16_3x is
+    # NOT exact either, max err 7.6e-6), while bf16 inputs are exact on
+    # the native single-pass path — so bf16-recipe callers should cast
+    # BEFORE augmenting (selection commutes with casting exactly;
+    # make_train_step does this), paying zero extra MXU passes.
+    prec = (jax.lax.Precision.HIGHEST if image.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jnp.einsum("nip,npqc->niqc", R, padded, precision=prec)
+    return jnp.einsum("njq,niqc->nijc", C, y, precision=prec)
 
 
 def device_batches(it, sharding: Optional[object] = None):

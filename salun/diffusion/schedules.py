@@ -89,10 +89,13 @@ def q_sample(x0, t, noise, schedule: DiffusionSchedule):
 
 
 def antithetic_timesteps(key, batch: int, num_timesteps: int):
-    """t and T−t−1 paired (runners/diffusion.py:222-226 antithetic trick)."""
+    """t and T−t−1 paired (runners/diffusion.py:222-226 antithetic trick).
+
+    The reference draws ``n//2 + 1`` base samples (one extra for even n,
+    so the last mirror is dropped by the [:n] slice), not ``ceil(n/2)``."""
     import jax
 
-    half = jax.random.randint(key, ((batch + 1) // 2,), 0, num_timesteps)
+    half = jax.random.randint(key, (batch // 2 + 1,), 0, num_timesteps)
     t = jnp.concatenate([half, num_timesteps - half - 1])[:batch]
     return t
 

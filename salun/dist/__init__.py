@@ -1,3 +1,5 @@
+from .context import (activate, active_mesh, ingest, mesh_from_flags,
+                      place_replicated)
 from .mesh import make_mesh, data_sharding, replicated, shard_batch, replicate
 from .moe import expert_sharding, moe_apply
 from .host_offload import offloaded, state_shardings, to_device, to_host

@@ -206,6 +206,73 @@ def import_compvis(sd: dict, templates: dict) -> dict:
             for part, flat in flats.items()}
 
 
+def _unflax_leaf(name: str, arr: np.ndarray):
+    """flax leaf name+layout → torch (weight/bias) name+layout."""
+    if name.endswith("/kernel"):
+        base = name[: -len("/kernel")]
+        if arr.ndim == 4:
+            return base + "/weight", arr.transpose(3, 2, 0, 1)
+        return base + "/weight", arr.T
+    if name.endswith("/scale"):
+        return name[: -len("/scale")] + "/weight", arr
+    if name.endswith("/embedding"):
+        return name[: -len("/embedding")] + "/weight", arr
+    return name, arr
+
+
+def export_compvis_vae(vae_params) -> dict:
+    """Our AutoencoderKL params → ``first_stage_model.*``-relative CompVis
+    keys (inverse of :func:`map_vae_key`)."""
+    from salun.utils.tree import flatten_names
+
+    out = {}
+    for k, v in flatten_names(vae_params).items():
+        name, arr = _unflax_leaf(k, np.asarray(v))
+        name = re.sub(r"(encoder|decoder)/(down|up)_(\d+)_block_(\d+)/",
+                      r"\1/\2/\3/block/\4/", name)
+        name = re.sub(r"(encoder|decoder)/(down|up)_(\d+)_(downsample|upsample)",
+                      r"\1/\2/\3/\4/conv", name)
+        name = re.sub(r"(encoder|decoder)/mid_(block_\d+|attn_1)/",
+                      r"\1/mid/\2/", name)
+        out[name.replace("/", ".")] = arr
+    return out
+
+
+def export_compvis_clip(clip_params) -> dict:
+    """Our CLIPTextModel params → ``cond_stage_model.transformer.*``-relative
+    HF keys (inverse of :func:`map_clip_key`; position_ids buffer omitted —
+    HF regenerates it)."""
+    from salun.utils.tree import flatten_names
+
+    out = {}
+    for k, v in flatten_names(clip_params).items():
+        if k == "position_embedding":  # bare leaf in the flax tree
+            out["text_model.embeddings.position_embedding.weight"] = \
+                np.asarray(v)
+            continue
+        name, arr = _unflax_leaf(k, np.asarray(v))
+        name = re.sub(r"^layers_(\d+)/", r"encoder/layers/\1/", name)
+        if name.startswith("token_embedding"):
+            name = "embeddings/" + name
+        out["text_model." + name.replace("/", ".")] = arr
+    return out
+
+
+def export_compvis(params: dict) -> dict:
+    """Full {"unet","vae","clip"} params → one CompVis-keyed state dict
+    (the layout random_label.py:175-199/save_model writes and
+    :func:`import_compvis` reads) — reference-format checkpoint interop
+    in both directions."""
+    sd = {}
+    for k, v in export_compvis_unet(params["unet"]).items():
+        sd[f"model.diffusion_model.{k}"] = v
+    for k, v in export_compvis_vae(params["vae"]).items():
+        sd[f"first_stage_model.{k}"] = v
+    for k, v in export_compvis_clip(params["clip"]).items():
+        sd[f"cond_stage_model.transformer.{k}"] = v
+    return sd
+
+
 def export_compvis_unet(unet_params) -> dict:
     """Our unet params → CompVis-keyed numpy dict (for saving checkpoints
     other tools can read — random_label.py:175-190 saves CompVis format)."""

@@ -127,10 +127,12 @@ def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
 
     acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
                        params["unet"])
+    from salun.dist import context as dist_ctx
+
     n = len(forget_images)
     for i in range(0, n, batch_size):
         key, sub = jax.random.split(key)
-        imgs = jnp.asarray(forget_images[i : i + batch_size])
+        imgs = dist_ctx.ingest(forget_images[i : i + batch_size])
         m = imgs.shape[0]
         acc = acc_batch(acc, imgs, ids_c[i : i + m] if len(ids_c) == n
                         else ids_c[:m], ids_u[:m], sub)
@@ -162,19 +164,24 @@ def make_random_label_step(modules: SDModules, tx, alpha: float = 0.5):
 
     def loss_fn(unet_params, frozen, batch, key):
         params = dict(frozen, unet=unet_params)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         remain_loss = modules.shared_step(
             params, batch["remain_images"], batch["remain_ids"], k1)
 
+        # the reference calls get_input TWICE on the same forget images
+        # (random_label.py:104-109) — two independent VAE-posterior samples
+        # feed the forget and pseudo forwards (same t and q_sample noise)
         z_f = modules.encode_image(params, batch["forget_images"], k2)
+        z_p = modules.encode_image(params, batch["forget_images"], k5)
         ctx_f = modules.encode_text(params, batch["forget_ids"])
         ctx_p = modules.encode_text(params, batch["pseudo_ids"])
         t = jax.random.randint(k3, (z_f.shape[0],), 0, T)
         noise = jax.random.normal(k4, z_f.shape)
-        z_t = modules.q_sample(z_f, t, noise)
-        out = modules.apply_model(params, z_t, t, ctx_f)
+        out = modules.apply_model(params, modules.q_sample(z_f, t, noise),
+                                  t, ctx_f)
         pseudo = jax.lax.stop_gradient(
-            modules.apply_model(params, z_t, t, ctx_p))
+            modules.apply_model(params, modules.q_sample(z_p, t, noise),
+                                t, ctx_p))
         forget_loss = jnp.mean(jnp.square(out - pseudo))
         return forget_loss + alpha * remain_loss
 
@@ -222,10 +229,35 @@ make_nsfw_removal_step = make_random_label_step
 # ----------------------------------------------------------- proximal
 
 
+def proximal_ratio(mask_ratio: float, epoch: int, step_in_epoch: int,
+                   n_forget_batches: int, n_remain_batches: int,
+                   epochs: int, n_total_params: int) -> int:
+    """The reference's decaying shrink-count schedule
+    (proximal_gradient.py:144-150): ``ratio = int(mask_ratio ·
+    (total − cur)/total · n_params)`` where ``total = epochs·(len(forget_dl)
+    + len(remain_dl))`` but the step counter only advances per *forget*
+    batch, and ``n_params`` counts the WHOLE LatentDiffusion
+    (``model.parameters()`` — UNet + frozen VAE + frozen CLIP)."""
+    total = epochs * (n_forget_batches + n_remain_batches)
+    cur = epoch * (n_forget_batches + n_remain_batches) + step_in_epoch + 1
+    return int(mask_ratio * ((total - cur) / total) * n_total_params)
+
+
 @partial(jax.jit, donate_argnums=0)
 def proximal_shrink(unet_params, theta_init, ratio):
-    """Global soft-threshold toward θ_init (proximal_gradient.py:144-180) —
-    exact bisection threshold over the UNet pytree, no flat copy."""
+    """Global soft-threshold toward θ_init (proximal_gradient.py:144-180):
+    τ = the ``ratio``-th smallest |θ−θ₀| — exact bisection threshold over
+    the UNet pytree, no flat copy / second-device scratch.
+
+    The reference ranks over the WHOLE model's flattened parameters
+    (``model.parameters()``, proximal_gradient.py:66-73,158-167), where the
+    frozen VAE/CLIP leaves contribute exact-zero diffs that occupy the
+    bottom of the ranking; pass ``ratio = ratio_full − n_frozen_params`` to
+    reproduce that ranking over the UNet-only pytree (zeros inside the UNet
+    tree itself, e.g. an untrained xattn complement, still participate
+    here exactly as they do in the reference's concat). ``ratio < 1`` in
+    the reference means τ = 0, which leaves every parameter unchanged —
+    callers skip the shrink in that case."""
     diffs = jax.tree.map(lambda p, t0: (p - t0).astype(jnp.float32),
                          unet_params, theta_init)
     n = tree_size(diffs)
@@ -255,10 +287,14 @@ def make_esd_step(modules: SDModules, tx,
     def step(carry, frozen_params, ctx_p, ctx_0, ctx_n, key):
         unet_params, opt_state = carry
         k1, k2, k3 = jax.random.split(key, 3)
-        # t_enc: DDIM step index then a DDPM timestep inside that bucket
+        # t_enc: DDIM step index then a DDPM timestep inside that bucket.
+        # The bucket edges use python round() semantics (half-to-even), not
+        # floor: og_num = round((t_enc/ddim_steps)·T) (train-esd.py:279-282).
         t_enc = jax.random.randint(k1, (), 0, ddim_steps)
-        og = (t_enc * T) // ddim_steps
-        og_lim = ((t_enc + 1) * T) // ddim_steps
+        og = jnp.round(t_enc.astype(jnp.float32) / ddim_steps * T
+                       ).astype(jnp.int32)
+        og_lim = jnp.round((t_enc + 1).astype(jnp.float32) / ddim_steps * T
+                           ).astype(jnp.int32)
         t_ddpm = jax.random.randint(k2, (1,), og, jnp.maximum(og_lim, og + 1))
 
         student = dict(frozen_params, unet=unet_params)

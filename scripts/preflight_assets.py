@@ -38,6 +38,9 @@ import hashlib
 import json
 import os
 import sys
+import time
+
+import numpy as np
 
 # name → (relpath, md5 | None, what-it-unlocks)
 ARTIFACTS = {
@@ -169,6 +172,358 @@ def check(root: str) -> dict:
     return results
 
 
+# --------------------------------------------------------------- rehearsal
+
+
+DDPM_TINY_YML = """\
+data:
+  dataset: cifar10
+  image_size: 32
+  channels: 3
+  n_classes: 10
+model:
+  ch: 32
+  out_ch: 3
+  ch_mult: [1, 2]
+  num_res_blocks: 1
+  attn_resolutions: [16]
+  dropout: 0.0
+  cond_drop_prob: 0.1
+  var_type: fixedlarge
+  ema: false
+diffusion:
+  beta_schedule: linear
+  beta_start: 0.0001
+  beta_end: 0.02
+  num_diffusion_timesteps: 10
+training:
+  n_iters: 2
+  batch_size: 16
+  snapshot_freq: 100
+  log_freq: 1
+  method: rl
+optim:
+  lr: 0.0001
+  grad_clip: 1.0
+sampling:
+  cond_scale: 2.0
+"""
+
+
+def _synth_cifar10(root, rng, per_batch=100):
+    """cifar-10-batches-py in the REAL pickle layout (b"data" uint8
+    [N,3072] CHW-flat + b"labels") — the exact bytes torchvision writes."""
+    import pickle
+
+    base = os.path.join(root, "cifar-10-batches-py")
+    os.makedirs(base, exist_ok=True)
+    for fn in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        data = rng.integers(0, 256, (per_batch, 3072), dtype=np.uint8)
+        labels = [int(i % 10) for i in range(per_batch)]
+        with open(os.path.join(base, fn), "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+
+
+def _synth_ddpm_ckpt(root):
+    """Reference-format DDPM ``ckpts/ckpt.pth`` (torch pickle of
+    [module.-prefixed state_dict, optim_sd, step] —
+    DDPM/runners/diffusion.py:252-265) from a tiny ConditionalUNet via the
+    export_ddpm_unet inverse mapping."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from salun.ckpt import export_ddpm_unet
+    from salun.diffusion import ConditionalUNet, UNetConfig
+
+    cfg = UNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), dropout=0.0, image_size=32)
+    model = ConditionalUNet(cfg)
+    params = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32), train=False, cond_drop_prob=0.0,
+    )["params"])(jax.random.PRNGKey(0))
+    sd = {f"module.{k}": torch.tensor(np.asarray(v))
+          for k, v in export_ddpm_unet(params).items()}
+    out = os.path.join(root, "diffusion_cifar10_model", "ckpts")
+    os.makedirs(out, exist_ok=True)
+    torch.save([sd, {}, 0], os.path.join(out, "ckpt.pth"))
+
+
+def _synth_pt_inception(root):
+    """pt_inception-2015-12-05 stand-in: a torch state dict with the
+    pytorch-fid names/layouts, inverted from the flax InceptionV3
+    template (salun.evalx.inception.load_params consumes it)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from salun.evalx.inception import InceptionV3
+    from salun.utils.tree import flatten_names
+
+    model = InceptionV3()
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))()
+    sd = {}
+    for k, v in flatten_names(variables["params"]).items():
+        arr = np.asarray(v)
+        base, leaf = k.rsplit("/", 1)
+        name = base.replace("/", ".")
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                sd[name + ".weight"] = torch.tensor(arr.transpose(3, 2, 0, 1))
+            else:
+                sd[name + ".weight"] = torch.tensor(arr.T)
+        elif leaf == "scale":
+            sd[name + ".weight"] = torch.tensor(arr)
+        else:
+            sd[name + "." + leaf] = torch.tensor(arr)
+    for k, v in flatten_names(variables["batch_stats"]).items():
+        base, leaf = k.rsplit("/", 1)
+        name = base.replace("/", ".")
+        sd[name + (".running_mean" if leaf == "mean" else ".running_var")] \
+            = torch.tensor(np.asarray(v))
+    torch.save(sd, os.path.join(root, "pt_inception-2015-12-05-6726825d.pth"))
+
+
+SD_TINY_YAML = """\
+model:
+  base_learning_rate: 1.0e-04
+  target: ldm.models.diffusion.ddpm.LatentDiffusion
+  params:
+    linear_start: 0.00085
+    linear_end: 0.0120
+    num_timesteps_cond: 1
+    log_every_t: 200
+    timesteps: 10
+    first_stage_key: jpg
+    cond_stage_key: txt
+    image_size: 8
+    channels: 4
+    cond_stage_trainable: false
+    conditioning_key: crossattn
+    monitor: val/loss_simple_ema
+    scale_factor: 0.18215
+    use_ema: false
+    unet_config:
+      target: ldm.modules.diffusionmodules.openaimodel.UNetModel
+      params:
+        image_size: 32
+        in_channels: 4
+        out_channels: 4
+        model_channels: 32
+        attention_resolutions: [1, 2]
+        num_res_blocks: 1
+        channel_mult: [1, 2]
+        num_heads: 2
+        use_spatial_transformer: true
+        transformer_depth: 1
+        context_dim: 768
+        use_checkpoint: true
+        legacy: false
+    first_stage_config:
+      target: ldm.models.autoencoder.AutoencoderKL
+      params:
+        embed_dim: 4
+        monitor: val/rec_loss
+        ddconfig:
+          double_z: true
+          z_channels: 4
+          resolution: 256
+          in_channels: 3
+          out_ch: 3
+          ch: 32
+          ch_mult: [1, 1, 1, 1]
+          num_res_blocks: 1
+          attn_resolutions: []
+          dropout: 0.0
+        lossconfig:
+          target: torch.nn.Identity
+    cond_stage_config:
+      target: ldm.modules.encoders.modules.FrozenCLIPEmbedder
+"""
+
+
+def _synth_sd_ckpt(root, yaml_path):
+    """Tiny CompVis-format ``sd-v1-4.ckpt`` (torch pickle with a
+    "state_dict" key) from the tiny yaml's module graph, written through
+    the export_compvis inverse mapping."""
+    import jax
+    import torch
+
+    from salun.sd.config import modules_from_yaml
+    from salun.sd.import_ckpt import export_compvis
+
+    modules = modules_from_yaml(yaml_path)
+    params = modules.init(jax.random.PRNGKey(0), image_size=8)
+    sd = {k: torch.tensor(v)
+          for k, v in export_compvis(params).items()}
+    torch.save({"state_dict": sd}, os.path.join(root, "sd-v1-4.ckpt"))
+
+
+def _synth_clip_bpe(root):
+    """bpe_simple_vocab_16e6.txt.gz stand-in in the OpenAI merges format
+    (header line + space-separated merges)."""
+    import gzip
+
+    merges = ["t h", "th e</w>", "a n", "an d</w>", "i n</w>", "o f</w>",
+              "r e", "e r", "o n", "a t", "i m", "im a", "g e</w>",
+              "ima ge</w>", "o t", "ot o</w>", "p h", "ph ot",
+              "phot o</w>"]
+    with gzip.open(os.path.join(root, "bpe_simple_vocab_16e6.txt.gz"),
+                   "wt") as f:
+        f.write("#version: 0.2 (synthetic rehearsal stand-in)\n")
+        f.write("\n".join(merges) + "\n")
+
+
+def _synth_imagenette(root, rng):
+    """imagenette2/train folder of tiny JPEGs (the extracted-archive
+    layout sd.data.load_imagenette reads when HF is unavailable)."""
+    from PIL import Image
+
+    for ci in range(10):
+        d = os.path.join(root, "imagenette2", "train", f"n{ci:08d}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(3):
+            arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"im_{i}.jpg"))
+
+
+def rehearse(root: str) -> int:
+    """Full-recipe rehearsal on synthesized stand-in assets in the REAL
+    file formats (VERDICT r3 #8): prove the day-one-with-assets command
+    chain (RECIPE above) executes end-to-end through the actual CLIs —
+    readers, torch-format importers, trainers, samplers, evaluators.
+    Numbers are meaningless (random weights/data); the PATH is what this
+    certifies. Runs single-device miniatures; wall-clock ~10-20 min on a
+    1-core CPU host, seconds on a TPU host."""
+    t0 = time.time()
+    root = os.path.abspath(root)
+    runs = os.path.join(root, "runs")
+    os.makedirs(runs, exist_ok=True)
+    rng = np.random.default_rng(0)
+    legs = []
+
+    def leg(name, fn):
+        t = time.time()
+        fn()
+        legs.append((name, round(time.time() - t, 1)))
+        print(f"[rehearse] {name} OK ({legs[-1][1]}s)", flush=True)
+
+    # ---- synthesize stand-ins (real formats)
+    leg("synth:cifar10", lambda: _synth_cifar10(root, rng))
+    leg("synth:ddpm_ckpt", lambda: _synth_ddpm_ckpt(root))
+    leg("synth:pt_inception", lambda: _synth_pt_inception(root))
+    ddpm_yml = os.path.join(root, "ddpm_tiny.yml")
+    with open(ddpm_yml, "w") as f:
+        f.write(DDPM_TINY_YML)
+    sd_yaml = os.path.join(root, "sd_tiny.yaml")
+    with open(sd_yaml, "w") as f:
+        f.write(SD_TINY_YAML)
+    leg("synth:sd_ckpt", lambda: _synth_sd_ckpt(root, sd_yaml))
+    leg("synth:clip_bpe", lambda: _synth_clip_bpe(root))
+    leg("synth:imagenette", lambda: _synth_imagenette(root, rng))
+    os.environ["SALUN_CLIP_BPE"] = os.path.join(
+        root, "bpe_simple_vocab_16e6.txt.gz")
+
+    # ---- classification chain (RECIPE step 1)
+    from salun.cli import generate_mask as cli_mask
+    from salun.cli import main_random as cli_random
+    from salun.cli import main_train as cli_train
+
+    pre = os.path.join(runs, "pretrain")
+    leg("cls:main_train", lambda: cli_train.main(
+        ["--dataset", "cifar10", "--arch", "resnet18", "--data", root,
+         "--epochs", "1", "--batch_size", "64", "--save_dir", pre]))
+    maskd = os.path.join(runs, "mask")
+    leg("cls:generate_mask", lambda: cli_mask.main(
+        ["--dataset", "cifar10", "--arch", "resnet18", "--data", root,
+         "--model_path", os.path.join(pre, "model_SA_best"),
+         "--num_indexes_to_replace", "45", "--batch_size", "64",
+         "--save_dir", maskd]))
+    leg("cls:main_random(SalUn-RL)", lambda: cli_random.main(
+        ["--dataset", "cifar10", "--arch", "resnet18", "--data", root,
+         "--model_path", os.path.join(pre, "model_SA_best"),
+         "--mask_path", os.path.join(maskd, "with_0.5"),
+         "--unlearn", "RL", "--unlearn_lr", "0.013",
+         "--unlearn_epochs", "1", "--batch_size", "64",
+         "--num_indexes_to_replace", "45", "--save_dir",
+         os.path.join(runs, "salun")]))
+
+    # ---- DDPM chain (RECIPE step 2) — exercises load_ddpm_states +
+    # import_ddpm_unet on the torch-format ckpt
+    from salun.cli import ddpm_evaluator as cli_eval
+    from salun.cli import ddpm_sample as cli_sample
+    from salun.cli import ddpm_save_base as cli_base
+    from salun.cli import ddpm_train as cli_ddpm
+
+    ckpt_folder = os.path.join(root, "diffusion_cifar10_model")
+    dmask = os.path.join(runs, "ddpm_mask")
+    leg("ddpm:generate_mask", lambda: cli_ddpm.main(
+        ["--config", ddpm_yml, "--mode", "generate_mask", "--data", root,
+         "--ckpt_folder", ckpt_folder, "--label_to_forget", "0",
+         "--save_dir", dmask]))
+    dunl = os.path.join(runs, "ddpm_unlearn")
+    leg("ddpm:saliency_unlearn", lambda: cli_ddpm.main(
+        ["--config", ddpm_yml, "--mode", "saliency_unlearn", "--method",
+         "rl", "--data", root, "--ckpt_folder", ckpt_folder,
+         "--label_to_forget", "0",
+         "--mask_path", os.path.join(dmask, "mask", "0", "with_0.5"),
+         "--save_dir", dunl]))
+    samples = os.path.join(runs, "ddpm_samples")
+    leg("ddpm:sample_fid", lambda: cli_sample.main(
+        ["--config", ddpm_yml, "--mode", "sample_fid", "--ckpt_folder",
+         dunl, "--save_dir", samples, "--n_samples_per_class", "2",
+         "--batch", "2", "--timesteps", "5"]))
+    based = os.path.join(runs, "ddpm_base")
+    leg("ddpm:save_base_dataset", lambda: cli_base.main(
+        ["--dataset", "cifar10", "--data", root, "--label_to_forget", "0",
+         "--per_class", "2", "--save_dir", based]))
+    leg("ddpm:evaluator(FID/IS/sFID/P&R)", lambda: cli_eval.main(
+        [based, samples,
+         "--inception_weights",
+         os.path.join(root, "pt_inception-2015-12-05-6726825d.pth"),
+         "--batch_size", "8",
+         "--output_csv", os.path.join(runs, "result.csv")]))
+
+    # ---- SD chain (RECIPE step 3) — exercises the CompVis importer, the
+    # real BPE loader, mask gen, the SalUn trainer, and image generation
+    from salun.cli import sd_generate_images as cli_sdgen
+    from salun.cli import sd_train as cli_sd
+
+    sd_ckpt = os.path.join(root, "sd-v1-4.ckpt")
+    smask = os.path.join(runs, "sd_mask")
+    leg("sd:generate_mask", lambda: cli_sd.main(
+        ["generate_mask", "--config", sd_yaml, "--ckpt_path", sd_ckpt,
+         "--data", root, "--image_size", "64", "--batch_size", "2",
+         "--class_to_forget", "0", "--save_dir", smask]))
+    sunl = os.path.join(runs, "sd_unlearn")
+    leg("sd:random_label(SalUn)", lambda: cli_sd.main(
+        ["random_label", "--config", sd_yaml, "--ckpt_path", sd_ckpt,
+         "--data", root, "--image_size", "64", "--batch_size", "2",
+         "--class_to_forget", "0", "--train_method", "full",
+         "--lr", "1e-5", "--epochs", "1", "--alpha", "0.5",
+         "--mask_path", os.path.join(smask, "mask", "0", "with_0.5"),
+         "--save_dir", sunl]))
+    prompts = os.path.join(root, "prompts_tiny.csv")
+    with open(prompts, "w") as f:
+        f.write("case_number,prompt,evaluation_seed\n"
+                "0,an image of a church,42\n")
+    leg("sd:generate_images", lambda: cli_sdgen.main(
+        ["--prompts_path", prompts, "--config", sd_yaml,
+         "--ckpt_path", os.path.join(sunl, "ckpt"),
+         "--save_path", os.path.join(runs, "sd_eval"),
+         "--image_size", "64", "--ddim_steps", "4", "--num_samples", "1"]))
+
+    print(f"\nrehearsal PASSED — {len(legs)} legs in "
+          f"{time.time() - t0:.0f}s (assets under {root})")
+    for name, dt in legs:
+        print(f"  {name:<32} {dt:>7.1f}s")
+    print("\nNOT rehearsed (needs real third-party weights): torchvision "
+          "ResNet-50 for sd_eval imageclassify; NudeNet detector.")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=os.environ.get("SALUN_ASSETS", "assets"))
@@ -176,7 +531,14 @@ def main(argv=None):
     ap.add_argument("--show-recipe", action="store_true",
                     help="print the parity command chain even with "
                          "artifacts missing")
+    ap.add_argument("--rehearse", action="store_true",
+                    help="synthesize miniature stand-in assets in the real "
+                         "file formats under --root and execute the full "
+                         "recipe chain through the real CLIs (VERDICT r3 "
+                         "#8: prove the day-one-with-assets path runs)")
     args = ap.parse_args(argv)
+    if args.rehearse:
+        return rehearse(args.root)
 
     results = check(args.root)
     if args.json:

@@ -110,6 +110,22 @@ def test_generate_mask_half(runner, params):
     assert abs(ones - int(total * 0.5)) < 1
 
 
+def test_generate_mask_scanned_equals_streamed(runner, params):
+    """The single-dispatch lax.scan saliency accumulation must be
+    bitwise-identical to the reference-shaped per-batch loop (same key
+    split chain, same clip-then-accumulate math) — masks AND the
+    underlying saliency ordering agree exactly."""
+    batches = [_batch(jax.random.PRNGKey(i)) for i in range(3)]
+    m_scan = runner.generate_mask(params, batches, jax.random.PRNGKey(4),
+                                  thresholds=(0.3, 0.5))
+    m_stream = runner.generate_mask(params, batches, jax.random.PRNGKey(4),
+                                    thresholds=(0.3, 0.5), stream=True)
+    for t in (0.3, 0.5):
+        for a, b in zip(jax.tree.leaves(m_scan[t]),
+                        jax.tree.leaves(m_stream[t])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sampler_shapes(runner, params):
     imgs = runner.sample_classes(
         params, jax.random.PRNGKey(0), classes=[0, 1], n_per_class=2,

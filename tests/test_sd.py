@@ -146,34 +146,21 @@ def test_proximal_shrink_pins(modules, params):
 
 
 def test_compvis_roundtrip(modules, params):
-    """export → rename to CompVis keys → import must be identity (unet)."""
-    sd = {
-        "model.diffusion_model." + k: v
-        for k, v in export_compvis_unet(params["unet"]).items()
-    }
-    # vae + clip keys from templates' own export path are exercised via
-    # import_compvis only for the unet here; build fake full sd with
-    # templates for vae/clip by skipping them
-    out = None
-    try:
-        out = import_compvis(sd, {"unet": params["unet"], "vae": {},
-                                  "clip": {}})
-    except KeyError:
-        # vae/clip missing is expected; import unet-only via private path
-        from salun.sd.import_ckpt import _place, map_unet_key
-        from salun.utils.tree import flatten_names, tree_from_flat
+    """export_compvis → import_compvis must be the identity over ALL
+    three stages (unet/vae/clip) — the writer sd_train uses for its
+    reference-format ``compvis.ckpt`` and the preflight rehearsal uses to
+    synthesize a real-format tiny sd-v1-4.ckpt."""
+    from salun.sd.import_ckpt import export_compvis
 
-        flat = {}
-        for key, tensor in sd.items():
-            rest = key[len("model.diffusion_model."):]
-            name, leaf = rest.rsplit(".", 1)
-            _place(flat, map_unet_key(name), np.asarray(tensor), leaf)
-        tmpl = flatten_names(params["unet"])
-        assert set(flat) == set(tmpl)
-        out = {"unet": tree_from_flat({k: jnp.asarray(flat[k]) for k in tmpl})}
-    for a, b in zip(jax.tree.leaves(out["unet"]),
-                    jax.tree.leaves(params["unet"])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    sd = export_compvis(params)
+    assert any(k.startswith("model.diffusion_model.") for k in sd)
+    assert any(k.startswith("first_stage_model.") for k in sd)
+    assert any(k.startswith("cond_stage_model.transformer.") for k in sd)
+    out = import_compvis(sd, params)
+    for part in ("unet", "vae", "clip"):
+        for a, b in zip(jax.tree.leaves(out[part]),
+                        jax.tree.leaves(params[part])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_diffusers_export_structure(modules, params):

@@ -104,3 +104,28 @@ def test_mask_import_layout():
     np.testing.assert_array_equal(np.asarray(tree["fc"]["bias"]), 0.0)
     # untouched leaf defaults to ones
     assert float(tree["bn1"]["scale"].min()) == 1.0
+
+
+def test_ddpm_unet_export_import_roundtrip():
+    """export_ddpm_unet is the exact inverse of import_ddpm_unet: a tiny
+    ConditionalUNet params tree survives the torch-name/layout roundtrip
+    bit-for-bit (the writer the preflight rehearsal uses to synthesize
+    reference-format DDPM checkpoints, runners/diffusion.py:252-265)."""
+    from salun.ckpt import export_ddpm_unet, import_ddpm_unet
+    from salun.diffusion import ConditionalUNet, UNetConfig
+
+    cfg = UNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(4,), image_size=8, dropout=0.0)
+    model = ConditionalUNet(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,)),
+        jnp.zeros((1,), jnp.int32), train=False, cond_drop_prob=0.0,
+    )["params"]
+    sd = export_ddpm_unet(params)
+    back = import_ddpm_unet(sd, params)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params), key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(back), key=lambda kv: str(kv[0]))):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
