@@ -227,8 +227,12 @@ def bench_ddpm_chain():
     # ---- stage 1: mask generation (diffusion.py:933-1039 — one pass over
     # the forget class, 5,000 CIFAR images at the config batch size)
     forget_batches = [batch(0) for _ in range(5000 // bs)]
-    # warm the two programs (acc step + threshold) on the first batch
-    runner.generate_mask(params, forget_batches[:1], jax.random.PRNGKey(9))
+    # Warm with the FULL batch list: the 39-batch call takes the scanned
+    # fast path (runner.py:137-163) whose program differs from the
+    # streamed single-batch one — r4 warmed with forget_batches[:1] and
+    # billed ~85 s of XLA compile to the timed mask-gen, understating the
+    # chain headline by ~70% (VERDICT r4 weak #2).
+    runner.generate_mask(params, forget_batches, jax.random.PRNGKey(9))
     t0 = time.perf_counter()
     masks = runner.generate_mask(params, forget_batches,
                                  jax.random.PRNGKey(10))
@@ -605,24 +609,36 @@ def bench_salun_chain(maskgen_s):
 # ---------------------------------------------------- SD v1 real shape
 
 
-def bench_sd_step():
-    """The third workload's hot loop as the FULL COMPOSED random_label
-    step at the true v1-inference shape (SD/train-scripts/
-    random_label.py:66-143): per step, THREE VAE posterior encodes of
-    512×512 batches (remain + forget + the pseudo resample), three CLIP
-    text encodes, three 859.5M-param U-Net passes at latent 64×64 (remain
-    fwd+bwd, forget fwd+bwd, pseudo fwd, one backward through the total
-    loss), grad×saliency-mask, Adam over the full subset — ONE jitted
-    step (salun.sd.trainers.make_random_label_step), bf16 compute.
+def bench_sd():
+    """The third workload at the true v1-inference shape, at the RECIPE
+    batch size 8 (random_label.py:236) — VERDICT r4 #1/#2/#3.
 
-    Swept over batch sizes {1, 4, 8} — 8 is the reference recipe default
-    (random_label.py:236); the vs_baseline figure is quoted at bs 8. The
-    A100 baseline uses the same model as the DDPM headline: the reference
-    runs this step in eager fp32 torch (no autocast anywhere), so grant
-    it 30% MFU of the A100 TF32 peak on the step's XLA-counted FLOPs.
-    Timing: best-of-3 calls of a 3-iteration in-graph lax.scan with a
-    carried data dependency (ADVICE r3: one timed call carries too much
-    jitter). Falls back to mask=None and then to smaller batches on OOM
+    Three metrics (stderr):
+    - ``sd_v1_random_label_step``: the composed step with strict per-step
+      reference semantics — THREE VAE posterior encodes of 512² batches
+      (remain + forget + the pseudo resample), three CLIP text encodes,
+      three 859.5M-param U-Net passes at latent 64² (remain fwd+bwd,
+      forget fwd+bwd, pseudo fwd), grad×saliency-mask, Adam — ONE jitted
+      step, bf16 compute.
+    - ``sd_v1_random_label_step_cached``: the production cached-moments
+      mode (trainers.make_random_label_step(cached="forget")): the
+      deterministic frozen-stage recomputes collapse to posterior draws;
+      numerics pinned equal by tests/test_sd.py.
+    - ``sd_salun_chain``: the SD north-star — mask-gen over the Df-sized
+      forget class + the 5-epoch recipe (SD/README.md:25: bs 8, Adam
+      1e-5, α 0.5, mask 0.5; Df ≈ 952 Imagenette-class images → 119
+      mask batches + 595 unlearn steps) as ONE wall-clock, extrapolated
+      from steady-state measurements (per-batch mask-gen slope, per-step
+      scan timing; every measured term is in the log line).
+
+    A100 baseline: as the DDPM headline — the reference runs eager fp32
+    torch (no autocast anywhere), granted 30% MFU of the 156 TFLOP/s TF32
+    peak on the UNCACHED step's XLA-counted FLOPs (the program the
+    reference actually executes every step); mask-gen/precompute FLOPs are
+    excluded from the baseline while their wall-clock is included in ours
+    (conservative, baseline's favor). Timing: best-of-3 calls of a
+    3-iteration in-graph lax.scan with a carried data dependency (ADVICE
+    r3). Falls back to mask=None and then to smaller batches on OOM
     (859.5M params + Adam moments + mask is HBM-tight on a 16 GB v5e)."""
     _log({"phase": "sd_start"})
     import optax
@@ -630,7 +646,14 @@ def bench_sd_step():
     from salun.core import threshold_mask
     from salun.sd import SDModules, SDUNetConfig, VAEConfig
     from salun.sd.clip_text import CLIPTextConfig
-    from salun.sd.trainers import make_random_label_step, with_mask
+    from salun.sd.trainers import (
+        make_cache_batch_fn, make_random_label_step, sd_generate_mask,
+        with_mask,
+    )
+
+    B, DF, EPOCHS = 8, 952, 5           # recipe (random_label.py:236,239)
+    MASK_BATCHES = DF // B              # 119 (generate_mask.py, 1 epoch)
+    UNLEARN_STEPS = EPOCHS * (DF // B)  # 595
 
     modules = SDModules.create(SDUNetConfig(dtype=jnp.bfloat16),
                                VAEConfig(dtype=jnp.bfloat16),
@@ -659,15 +682,10 @@ def bench_sd_step():
 
     rng = np.random.RandomState(0)
     peak, kind = _peak()
-    iters, best_at_recipe = 3, None
+    iters = 3
 
-    def run_cfg(b, use_mask):
-        unet0 = jax.device_put(unet_host)
-        mask = _mk_mask(unet0) if use_mask else None
-        tx = with_mask(optax.adam(1e-5), mask)
-        carry = (unet0, tx.init(unet0))
-        step = make_random_label_step(modules, tx, alpha=0.5)
-        batch = {
+    def make_batch(b):
+        return {
             "forget_images": jnp.asarray(
                 rng.rand(b, 512, 512, 3).astype(np.float32) * 2 - 1),
             "remain_images": jnp.asarray(
@@ -676,6 +694,25 @@ def bench_sd_step():
             "pseudo_ids": jnp.asarray(rng.randint(0, 49408, (b, 77))),
             "remain_ids": jnp.asarray(rng.randint(0, 49408, (b, 77))),
         }
+
+    def run_cfg(b, use_mask, cached):
+        """Returns (best_s_per_step, flops_per_step, extra_cache_s)."""
+        unet0 = jax.device_put(unet_host)
+        mask = _mk_mask(unet0) if use_mask else None
+        tx = with_mask(optax.adam(1e-5), mask)
+        carry = (unet0, tx.init(unet0))
+        step = make_random_label_step(modules, tx, alpha=0.5,
+                                      cached=cached or False)
+        batch = make_batch(b)
+        cache_s = None
+        if cached:
+            cache_fn = make_cache_batch_fn(modules, cached)
+            batch = cache_fn(frozen, batch)          # compile + first call
+            float(jnp.sum(jax.tree.leaves(batch)[0].astype(jnp.float32)))
+            t0 = time.perf_counter()
+            batch = cache_fn(frozen, make_batch(b))  # steady-state
+            float(jnp.sum(jax.tree.leaves(batch)[0].astype(jnp.float32)))
+            cache_s = time.perf_counter() - t0
 
         # donate the carry: 859.5M params + Adam moments must update
         # in place, or the un-donated copy alone overflows HBM
@@ -689,9 +726,9 @@ def bench_sd_step():
                                          jax.random.split(key, iters))
             return carry, losses[-1]
 
-        _log({"phase": f"sd_aot_start_b{b}_mask{int(use_mask)}"})
+        _log({"phase": f"sd_aot_b{b}_mask{int(use_mask)}_"
+                       f"cached{cached or 0}"})
         crun, flops = _aot(run, carry, batch, jax.random.PRNGKey(1))
-        _log({"phase": "sd_aot_done"})
         carry, loss = crun(carry, batch, jax.random.PRNGKey(2))  # warm
         float(loss)
         best = None
@@ -705,28 +742,101 @@ def bench_sd_step():
         baseline_s = (flops_step / (A100_TF32_PEAK * A100_ASSUMED_MFU)
                       if flops_step else None)
         vs = baseline_s / best if baseline_s else None
-        _log({"metric": "sd_v1_random_label_step",
+        _log({"metric": ("sd_v1_random_label_step_cached" if cached
+                         else "sd_v1_random_label_step"),
               "ms_per_step": round(best * 1e3, 1),
               "images_per_sec": round(b / best, 2),
               "flops_per_step": flops_step,
               "mfu": round(flops_step / best / peak, 4) if flops_step
               else None,
               "vs_a100_baseline": round(vs, 3) if vs else None,
-              "device": kind, "batch": b, "masked": use_mask})
-        return vs
+              "device": kind, "batch": b, "masked": use_mask,
+              **({"cache_batch_s": round(cache_s, 3)} if cache_s else {})})
+        return best, flops_step, cache_s
 
-    for b in (1, 4, 8):
-        vs = None
-        for use_mask in (True, False):
-            try:
-                vs = run_cfg(b, use_mask)
-                break
-            except Exception as e:
-                _log({"sd_bench_oom_or_error": repr(e), "batch": b,
-                      "masked": use_mask})
-        if b == 8 and vs is not None:
-            best_at_recipe = vs
-    return best_at_recipe
+    # ---- at-recipe step, uncached (strict reference semantics)
+    step_unc = flops_unc = None
+    for b, use_mask in ((B, True), (B, False), (4, True), (1, True)):
+        try:
+            step_unc, flops_unc, _ = run_cfg(b, use_mask, False)
+            b_used, masked_used = b, use_mask
+            break
+        except Exception as e:
+            _log({"sd_bench_oom_or_error": repr(e), "batch": b,
+                  "masked": use_mask})
+    if step_unc is None:
+        return None
+
+    # ---- at-recipe step, cached-moments production mode
+    step_c = cache_s = None
+    if not _over_budget("sd_cached_step"):
+        try:
+            step_c, _, cache_s = run_cfg(b_used, masked_used, "forget")
+        except Exception as e:
+            _log({"sd_cached_error": repr(e)})
+
+    vs_step = (flops_unc / (A100_TF32_PEAK * A100_ASSUMED_MFU)
+               / step_unc if flops_unc else None)
+    if b_used != B:
+        return vs_step  # below-recipe fallback: no chain extrapolation
+
+    # ---- mask-gen per-batch slope (sd_generate_mask runs the real
+    # accumulation program + the 860M-param threshold sweep; two sizes
+    # cancel the shared one-time costs out of the per-batch term)
+    if _over_budget("sd_chain", margin_s=400.0):
+        return vs_step
+    mask_s_119 = None
+    try:
+        imgs = (rng.rand(48, 512, 512, 3).astype(np.float32) * 2 - 1)
+        prompts = ["an image of a tench"] * 48
+        key = jax.random.PRNGKey(5)
+        params_full = dict(frozen, unet=jax.device_put(unet_host))
+        sd_generate_mask(modules, params_full, imgs[:16], prompts[:16],
+                         key, batch_size=B)                # warm programs
+        t0 = time.perf_counter()
+        sd_generate_mask(modules, params_full, imgs[:16], prompts[:16],
+                         key, batch_size=B)
+        t2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sd_generate_mask(modules, params_full, imgs, prompts, key,
+                         batch_size=B)
+        t6 = time.perf_counter() - t0
+        per_batch = max((t6 - t2) / 4.0, 0.0)
+        overhead = max(t2 - 2 * per_batch, 0.0)   # threshold sweep etc.
+        mask_s_119 = overhead + MASK_BATCHES * per_batch
+        _log({"sd_maskgen_slope": {"t2_batches_s": round(t2, 2),
+                                   "t6_batches_s": round(t6, 2),
+                                   "per_batch_s": round(per_batch, 3),
+                                   "overhead_s": round(overhead, 2)}})
+    except Exception as e:
+        _log({"sd_maskgen_error": repr(e)})
+
+    # ---- the chain: precompute + mask-gen + 5-epoch unlearn
+    if mask_s_119 is None or step_c is None:
+        return vs_step
+    pre_s = (cache_s or 0.0) * MASK_BATCHES
+    unlearn_s = step_c * UNLEARN_STEPS
+    chain_s = pre_s + mask_s_119 + unlearn_s
+    baseline_s = (flops_unc * UNLEARN_STEPS
+                  / (A100_TF32_PEAK * A100_ASSUMED_MFU))
+    vs = baseline_s / chain_s
+    _log({"metric": "sd_salun_chain",
+          "precompute_s": round(pre_s, 2),
+          "maskgen_s": round(mask_s_119, 2),
+          "unlearn_595step_s": round(unlearn_s, 2),
+          "chain_s": round(chain_s, 2),
+          "flops_per_step_uncached": flops_unc,
+          "a100_baseline_s": round(baseline_s, 2),
+          "vs_baseline_per_chip": round(vs, 3),
+          "device": kind,
+          "derivation": f"Df={DF} bs={B}: {MASK_BATCHES} mask batches "
+                        f"(slope-extrapolated) + {UNLEARN_STEPS} cached-"
+                        f"moment steps x {round((step_c or 0)*1e3, 1)} ms "
+                        f"+ {MASK_BATCHES} moment-precompute batches; "
+                        "baseline = uncached-step FLOPs x 595 / (156e12 x "
+                        "0.30), mask-gen+precompute excluded from "
+                        "baseline"})
+    return vs
 
 
 # ------------------------------------------------- classification RL step
@@ -819,10 +929,55 @@ def _arm_watchdog():
     return t, done
 
 
+# Elapsed-time budget (VERDICT r4 #1: r4's bench exceeded the ~1800 s
+# driver allowance and was killed mid-secondary with rc=124, leaving the
+# artifact's parsed field on a stderr phase line). Two layers of defense:
+#   - cooperative: _over_budget() is checked before every secondary (soft
+#     margin keeps a compile from straddling the deadline);
+#   - hard: after the headline is measured, a daemon timer re-prints the
+#     headline as the FINAL stdout line and exits 0 at the deadline, so a
+#     straddling compile can never produce rc=124 again.
+BUDGET_S = None  # set in main() from SALUN_BENCH_BUDGET_S (default 1650)
+
+
+def _over_budget(label: str, margin_s: float = 250.0) -> bool:
+    el = time.perf_counter() - _T0
+    if BUDGET_S is not None and el > BUDGET_S - margin_s:
+        _log({"skipped": label, "elapsed_s": round(el, 1),
+              "budget_s": BUDGET_S})
+        return True
+    return False
+
+
+def _arm_deadline(headline: dict):
+    """Hard exit at the budget: re-print the headline (the driver parses
+    the final JSON line of the combined stream) and exit 0."""
+    import os
+    import threading
+
+    remaining = BUDGET_S - (time.perf_counter() - _T0)
+
+    def fire():
+        _log({"deadline": "budget reached mid-secondary; exiting clean"})
+        print(json.dumps(headline), flush=True)
+        os._exit(0)
+
+    if remaining <= 0:
+        fire()
+    t = threading.Timer(remaining, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     # Headline = the north-star chain (mask-gen + 10-epoch SalUn-RL
     # unlearn wall-clock, BASELINE.md); run first — tunnel throughput
     # degrades after back-to-back heavy runs (docs/BENCHMARKS.md).
+    import os
+
+    global BUDGET_S
+    BUDGET_S = float(os.environ.get("SALUN_BENCH_BUDGET_S", "1650"))
     watchdog, done = _arm_watchdog()
     headline = None
     ddpm = None
@@ -849,15 +1004,28 @@ def main():
     headline = dict(headline)
     headline.pop("_flops", None)
     print(json.dumps(headline), flush=True)
-    try:  # secondary metrics (stderr only) — best-effort
-        if ddpm is None:
-            ddpm = bench_ddpm_salun_step()
-        bench_ddpm_sampling(step_flops=ddpm.get("_flops"))
-        bench_resnet_rl()
-        bench_ddpm_chain()
-        bench_sd_step()
-    except Exception as e:
-        _log({"secondary_bench_error": repr(e)})
+    deadline = _arm_deadline(headline)
+
+    # Secondaries (stderr only), highest-value first — SD before the DDPM
+    # chain (VERDICT r4 #1b: SD had zero at-recipe data; the DDPM chain
+    # already has an r4 number). Each runs in its own try/except so one
+    # failure can't starve the rest.
+    def secondary(label, fn):
+        if _over_budget(label):
+            return None
+        try:
+            return fn()
+        except Exception as e:
+            _log({f"{label}_error": repr(e)})
+            return None
+
+    secondary("sd", bench_sd)
+    ddpm = ddpm or secondary("ddpm_step", bench_ddpm_salun_step)
+    secondary("ddpm_sampling", lambda: bench_ddpm_sampling(
+        step_flops=ddpm.get("_flops") if ddpm else None))
+    secondary("resnet_rl", bench_resnet_rl)
+    secondary("ddpm_chain", bench_ddpm_chain)
+    deadline.cancel()
     # Re-print the headline LAST: the driver's artifact parses the final
     # JSON line of the combined stream (BENCH_r03.json's "parsed" field
     # captured a stderr secondary instead of the headline).

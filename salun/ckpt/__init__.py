@@ -3,6 +3,7 @@ from .store import (
     save_eval_results, save_sharded,
 )
 from .torch_import import (
-    export_ddpm_unet, export_mask, import_ddpm_unet, import_mask,
-    import_resnet, import_vgg, load_ddpm_states, strip_module_prefix,
+    export_ddpm_unet, export_mask, export_resnet, import_ddpm_unet,
+    import_mask, import_resnet, import_vgg, load_ddpm_states,
+    strip_module_prefix,
 )

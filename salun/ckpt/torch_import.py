@@ -240,6 +240,50 @@ def import_mask(path_or_dict, params_template, name_map=_resnet_name_map):
     return tree_from_flat(out)
 
 
+def export_resnet(params, batch_stats) -> Dict[str, np.ndarray]:
+    """Our flax ResNet trees → torchvision-style state-dict names/layouts
+    — the exact inverse of :func:`import_resnet` (conv HWIO→OIHW, linear
+    kernel→weight.T, scale→weight, batch_stats→running_*). Used to write
+    reference-consumable classifier checkpoints and to synthesize
+    rehearsal stand-ins for the torchvision weights the eval CLIs expect
+    (cli/sd_eval.py imageclassify --classifier_weights,
+    cli/ddpm_classifier eval)."""
+    from salun.utils.tree import flatten_names
+
+    def torch_name(flat: str) -> str:
+        parts = flat.split("/")
+        head = parts[0]
+        if "_" in head and head.startswith("layer"):
+            stage, block = head.rsplit("_", 1)
+            rest = parts[1:]
+            if rest and rest[0] in ("downsample_conv", "downsample_bn"):
+                idx = "0" if rest[0] == "downsample_conv" else "1"
+                rest = ["downsample", idx] + rest[1:]
+            return ".".join([stage, block] + rest)
+        return ".".join(parts)
+
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flatten_names(params).items():
+        arr = np.asarray(v)
+        name = torch_name(k)
+        base, leaf = name.rsplit(".", 1)
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                out[base + ".weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                out[base + ".weight"] = arr.T
+        elif leaf == "scale":
+            out[base + ".weight"] = arr
+        else:
+            out[name] = arr
+    for k, v in flatten_names(batch_stats).items():
+        name = torch_name(k)
+        base, leaf = name.rsplit(".", 1)
+        out[base + (".running_mean" if leaf == "mean"
+                    else ".running_var")] = np.asarray(v)
+    return out
+
+
 def export_mask(mask_tree, name_map_inverse=None) -> dict:
     """Our mask pytree → {torch-style name: numpy 0/1} dict for interop."""
     from salun.utils.tree import flatten_names

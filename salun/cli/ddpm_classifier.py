@@ -25,8 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from salun import ckpt
-from salun.core import masked_opt
-from salun.core.train import TrainState, make_train_step, multistep_lr
+from salun.core.train import TrainState, make_train_step
 from salun.data import datasets as D
 from salun.data.loader import BatchIterator
 from salun.models import create_model
@@ -41,7 +40,17 @@ def _resize_batch(x):
                             "bilinear")
 
 
+def _fc_labels(params):
+    """'fc' / 'body' label tree for the reference's two-group optimizer
+    (train_classifier.py:141-148: body at lr, the re-initialized fc head
+    at lr×10)."""
+    return {k: jax.tree.map(lambda _: "fc" if k == "fc" else "body", v)
+            for k, v in params.items()}
+
+
 def train(args):
+    import optax
+
     seed_all(args.seed)
     key = jax.random.PRNGKey(args.seed)
     ds = D.load(args.dataset, args.data, train=True)
@@ -52,11 +61,31 @@ def train(args):
     model = create_model("resnet34", num_classes=ds.num_classes)
 
     loader = BatchIterator(ds, args.batch_size, shuffle=True, seed=args.seed)
-    sched = multistep_lr(args.lr, [int(0.5 * args.epochs), int(0.75 * args.epochs)],
-                         len(loader))
-    tx = masked_opt.sgd(sched, 0.9, 5e-4)
     variables = model.init(key, jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
                            train=False)
+    if args.init_weights:
+        # torchvision ImageNet-pretrained resnet34 init, fc re-initialized
+        # (train_classifier.py:124-135: pretrained=True, new Linear(512,10))
+        from salun.ckpt import import_resnet
+
+        p1k, s1k = import_resnet(args.init_weights, num_classes=1000)
+        p1k.pop("fc", None)  # keep the fresh 10-class head from init
+        variables = {
+            "params": {**variables["params"], **p1k},
+            "batch_stats": s1k or variables.get("batch_stats", {}),
+        }
+    # reference optimizer (train_classifier.py:138-148): torch Adam with
+    # L2-in-gradient weight decay 5e-4, body at lr, fc head at lr×10;
+    # --freeze_layers trains the head only
+    def group(lr):
+        return optax.chain(optax.add_decayed_weights(5e-4),
+                           optax.adam(lr))
+
+    tx = optax.multi_transform(
+        {"body": (optax.set_to_zero() if args.freeze_layers
+                  else group(args.lr)),
+         "fc": group(args.lr * 10)},
+        _fc_labels(variables["params"]))
     state = TrainState.create(variables, tx)
 
     base_step = make_train_step(model, tx, use_augment=True,
@@ -78,9 +107,16 @@ def train(args):
 def evaluate(args):
     from salun.cli.ddpm_evaluator import read_images_folder
 
-    payload = ckpt.restore(args.ckpt)
     model = create_model("resnet34", num_classes=10)
-    params, stats = payload["params"], payload["batch_stats"]
+    if args.ckpt.endswith((".pt", ".pth", ".pth.tar")):
+        # the reference's own trained classifier ("{dataset}_resnet34.pth",
+        # classifier_evaluation.py:135-140) — torch-format import
+        from salun.ckpt import import_resnet
+
+        params, stats = import_resnet(args.ckpt, num_classes=10)
+    else:
+        payload = ckpt.restore(args.ckpt)
+        params, stats = payload["params"], payload["batch_stats"]
 
     imgs = read_images_folder(args.sample_path)
 
@@ -125,6 +161,13 @@ def main(argv=None):
     tr.add_argument("--save_dir", default="results/classifier")
     tr.add_argument("--limit", type=int, default=0,
                     help="cap train set size (smoke runs); 0 = full")
+    tr.add_argument("--init_weights", default=None,
+                    help="torchvision ImageNet resnet34 .pth to fine-tune "
+                         "from (train_classifier.py pretrained=True); "
+                         "default random init")
+    tr.add_argument("--freeze_layers", action="store_true",
+                    help="train only the fc head (train_classifier.py "
+                         "--freeze_layers)")
     ev = sub.add_parser("eval")
     ev.add_argument("--sample_path", required=True)
     ev.add_argument("--label_of_forgotten_class", type=int, default=0)

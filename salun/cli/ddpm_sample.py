@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count for sampling: each "
+                        "batch's reverse chain shards over a (data,) mesh "
+                        "(the reference fans sample_fid over 2 GPUs via "
+                        "DataParallel, runners/diffusion.py:773-824). "
+                        "Batches are padded up to a multiple of dp; "
+                        "pick --batch divisible by dp to avoid waste.")
     return p.parse_args(argv)
 
 
@@ -55,6 +62,14 @@ def create_class_labels(spec: str, n_classes: int):
 
 def main(argv=None):
     args = parse_args(argv)
+    from salun.dist import context as dist_ctx
+
+    mesh = dist_ctx.mesh_from_flags(args.dp)
+    with dist_ctx.activate(mesh):
+        return _main(args)
+
+
+def _main(args):
     os.makedirs(args.save_dir, exist_ok=True)
     seed_all(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -94,13 +109,17 @@ def main(argv=None):
         idx = 0
         while remaining > 0:
             n = min(args.batch, remaining)
+            # a --dp mesh shards the chain's batch dim; pad ragged tails up
+            # to a dp multiple (surplus samples are dropped after decode)
+            n_run = (-(-n // args.dp) * args.dp if args.dp and args.dp > 1
+                     else n)
             key, sub = jax.random.split(key)
             imgs = runner.sample_classes(
-                params, sub, classes=[c], n_per_class=n,
+                params, sub, classes=[c], n_per_class=n_run,
                 cond_scale=args.cond_scale, sample_type=args.sample_type,
                 timesteps=args.timesteps,
             )
-            _save_images(np.asarray(imgs), out_dir, start=idx)
+            _save_images(np.asarray(imgs)[:n], out_dir, start=idx)
             idx += n
             remaining -= n
 

@@ -183,12 +183,40 @@ def synthetic(
     return ArrayDataset(data, ys.astype(np.int64), num_classes, "synthetic")
 
 
+# ---------------------------------------------------------------- imagenet
+
+
+def imagenet(data_dir: str, train: bool = True) -> ArrayDataset:
+    """ImageNet-1k from an on-disk HF ``DatasetDict`` (``datasets.
+    save_to_disk`` layout — the zero-egress deployment path; parity:
+    Classification/imagenet.py:135-166 ``load_dataset("imagenet-1k")``).
+
+    MATERIALIZES decoded arrays, so it serves subsets/miniatures through
+    the standard driver path (``main_forget --dataset imagenet``); a
+    full-scale 1.2M-image run must stream instead — use
+    ``salun.data.imagenet.ImageNetLoader``. Decode size comes from
+    ``SALUN_IMAGENET_SIZE`` (default 224, the reference eval resolution).
+    """
+    import os
+
+    from .imagenet import ImageNetLoader
+
+    size = int(os.environ.get("SALUN_IMAGENET_SIZE", "224"))
+    loader = ImageNetLoader(data_dir, image_size=size)
+    split = "train" if train else "validation"
+    ds = loader.ds[split]
+    xs = np.stack([loader._resize(im) for im in ds["image"]])
+    ys = np.asarray(ds["label"], np.int64)
+    return ArrayDataset(xs, ys, 1000, "imagenet")
+
+
 REGISTRY = {
     "cifar10": cifar10,
     "cifar100": cifar100,
     "svhn": svhn,
     "TinyImagenet": tiny_imagenet,
     "tiny_imagenet": tiny_imagenet,
+    "imagenet": imagenet,
 }
 
 NUM_CLASSES = {

@@ -164,6 +164,14 @@ def sample_image(
 
     key, nk = jax.random.split(key)
     x = jax.random.normal(nk, (batch, image_size, image_size, channels))
+    # shard the chain over an active --dp mesh: the initial noise is the
+    # only array with a batch dim created in-graph, so one constraint here
+    # propagates through the whole scan (FID sampling is embarrassingly
+    # batch-parallel — the reference fans it over 2 GPUs by hand,
+    # runners/diffusion.py:773-824 under DataParallel)
+    from salun.dist import context as dist_ctx
+
+    x = dist_ctx.constrain_batch(x)
     eps_fn = make_conditional_eps_fn(model, variables, classes, cond_scale)
     if sample_type == "generalized":
         out = generalized_steps(eps_fn, x, seq, schedule, eta=eta, key=key,

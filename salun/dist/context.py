@@ -93,6 +93,27 @@ def ingest(batch, dim: int = 0):
     return shard_batch_dim(_ACTIVE, batch, dim)
 
 
+def constrain_batch(x, dim: int = 0):
+    """``with_sharding_constraint`` over the active mesh's ``data`` axis —
+    the in-graph counterpart of :func:`ingest` for arrays *created* on
+    device (e.g. the initial noise of a sampling chain, which has no host
+    batch to shard). No-op without an active mesh or when the batch dim
+    doesn't divide; correct either way, parallel when possible."""
+    if _ACTIVE is None:
+        return x
+    n = _ACTIVE.shape["data"]
+    ndim = getattr(x, "ndim", 0)
+    if ndim <= dim or not x.shape[dim] or x.shape[dim] % n:
+        return x
+    spec = [None] * ndim
+    spec[dim] = "data"
+    sharding = NamedSharding(_ACTIVE, P(*spec))
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+        # concrete (eager) array: placement, not a trace-time constraint
+        return jax.device_put(x, sharding)
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 def place_replicated(tree, mesh: Optional[Mesh] = None):
     """Replicate model/optimizer state over the mesh (no-op when no mesh
     is active and none is given)."""

@@ -101,6 +101,25 @@ class SDModules:
                            method=AutoencoderKL.encode_sample)
         return z * self.scale_factor
 
+    def encode_image_moments(self, params, images):
+        """Posterior moments (mean, logvar) of the first stage — the
+        DETERMINISTIC part of get_input (ddpm.py:913-973): the reference
+        re-runs the full 512² VAE encode on the same images every epoch,
+        but only the posterior noise draw is fresh. Cache these once per
+        image and use :meth:`latent_from_moments` per step (flag-gated in
+        the trainers; tests pin equality to float rounding)."""
+        return self.vae.apply({"params": params["vae"]}, images,
+                              method=AutoencoderKL.encode_moments)
+
+    def latent_from_moments(self, moments, key):
+        """Fresh scaled posterior draw from cached moments — same math and
+        key usage as ``encode_image(params, images, key)`` when ``moments =
+        encode_image_moments(params, images)`` (agrees to float rounding
+        across the two compiled programs)."""
+        mean, logvar = moments
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape)
+        return z * self.scale_factor
+
     def decode_latent(self, params, z):
         return self.vae.apply({"params": params["vae"]},
                               z / self.scale_factor,
@@ -134,6 +153,17 @@ class SDModules:
         noise = jax.random.normal(kn, z0.shape)
         return self.p_losses(params, z0, context, t, noise)
 
+    def shared_step_cached(self, params, moments, context, key):
+        """``shared_step`` from cached posterior moments + cached CLIP
+        context — bitwise equal to the uncached path for the same key
+        (identical key-split chain: ke draws the posterior sample)."""
+        ke, kt, kn = jax.random.split(key, 3)
+        z0 = self.latent_from_moments(moments, ke)
+        t = jax.random.randint(kt, (z0.shape[0],), 0,
+                               self.schedule.num_timesteps)
+        noise = jax.random.normal(kn, z0.shape)
+        return self.p_losses(params, z0, context, t, noise)
+
     # ------------------------------------------------------------ sampling
 
     def cfg_eps_fn(self, params, cond_ctx, uncond_ctx, guidance: float):
@@ -151,12 +181,23 @@ class SDModules:
 
         return eps_fn
 
+    def initial_latents(self, key, n: int, image_size: int):
+        """The z drawn by :meth:`sample` for this key — exposed so callers
+        can precompute per-prompt-row latents (each CSV row has its own
+        evaluation_seed, generate-images.py) and batch several rows into
+        one sharded sampling call (cli/sd_generate_images.py --dp)."""
+        _, nk = jax.random.split(key)
+        return jax.random.normal(
+            nk, (n, image_size, image_size, self.vae.cfg.z_channels))
+
     def sample(self, params, key, prompts, *, negative_prompts=None,
                guidance: float = 7.5, steps: int = 50, image_size: int = 64,
                eta: float = 0.0, return_latents: bool = False,
-               sampler: str = "ddim"):
+               sampler: str = "ddim", initial_latents=None):
         """Text → images in [0,1] via DDIM or PLMS
-        (ddim.py / plms.py / generate-images.py)."""
+        (ddim.py / plms.py / generate-images.py). ``initial_latents``
+        overrides the internally drawn z (see :meth:`initial_latents`);
+        the chain shards over an active --dp mesh's data axis."""
         n = len(prompts)
         max_len = self.clip.cfg.max_length
         ids_c = jnp.asarray(tokenize(prompts, max_len))
@@ -176,9 +217,15 @@ class SDModules:
             seq = seq[:-1]
         final_ab = float(self.schedule.alphas_cumprod[0])
         key, nk = jax.random.split(key)
-        z = jax.random.normal(
-            nk, (n, image_size, image_size, self.vae.cfg.z_channels)
-        )
+        if initial_latents is None:
+            z = jax.random.normal(
+                nk, (n, image_size, image_size, self.vae.cfg.z_channels)
+            )
+        else:
+            z = initial_latents
+        from salun.dist import context as dist_ctx
+
+        z = dist_ctx.constrain_batch(z)
         eps_fn = self.cfg_eps_fn(params, ctx_c, ctx_u, guidance)
         if sampler == "plms":
             from salun.diffusion.sampling import plms_steps

@@ -157,24 +157,86 @@ def with_mask(tx, mask):
     return optax.chain(mask_grads(mask), tx)
 
 
-def make_random_label_step(modules: SDModules, tx, alpha: float = 0.5):
+def make_cache_batch_fn(modules: SDModules, mode: str = "all"):
+    """Precompute the deterministic frozen-stage outputs of a random_label
+    batch: VAE posterior moments per image set + CLIP contexts per prompt
+    set (both are pure functions of frozen params — the reference recomputes
+    them every step/epoch, ddpm.py:913-973). The returned dict feeds
+    ``make_random_label_step(..., cached=mode)``.
+
+    ``mode="forget"`` caches only the forget side and passes the remain
+    images/ids through raw — the right choice for the 5-epoch reference
+    recipe, where each Df image is re-encoded 10× (forget + pseudo × 5
+    epochs) but each remain batch is drawn at most ONCE from the cycling
+    remain loader (random_label.py:66-77), so remain caching has no reuse.
+    """
+
+    @jax.jit
+    def cache(frozen, batch):
+        out = {
+            "forget_moments": modules.encode_image_moments(
+                frozen, batch["forget_images"]),
+            "forget_ctx": modules.encode_text(frozen, batch["forget_ids"]),
+            "pseudo_ctx": modules.encode_text(frozen, batch["pseudo_ids"]),
+        }
+        if mode == "all":
+            out["remain_moments"] = modules.encode_image_moments(
+                frozen, batch["remain_images"])
+            out["remain_ctx"] = modules.encode_text(
+                frozen, batch["remain_ids"])
+        else:
+            out["remain_images"] = batch["remain_images"]
+            out["remain_ids"] = batch["remain_ids"]
+        return out
+
+    return cache
+
+
+def make_random_label_step(modules: SDModules, tx, alpha: float = 0.5,
+                           cached=False):
     """certain_label step (random_label.py:66-143). Saliency masking is
-    carried by ``tx`` (build it with ``with_mask``)."""
+    carried by ``tx`` (build it with ``with_mask``).
+
+    ``cached``: False (default, strict reference recompute), ``"forget"``
+    (forget-side moments/contexts precomputed, remain raw — the payoff
+    mode for the 5-epoch recipe, see ``make_cache_batch_fn``), or
+    ``"all"``/True. Cached batches carry precomputed VAE posterior moments
+    + CLIP contexts (``make_cache_batch_fn``) instead of raw images/ids —
+    the re-encoded frozen stages collapse to posterior noise draws. Same
+    math and same key-split chain as the uncached path (moments are
+    deterministic), so losses/updates agree to float rounding — pinned by
+    tests/test_sd.py::test_cached_step_matches_uncached.
+    """
     T = modules.schedule.num_timesteps
+    cached = {True: "all", False: ""}.get(cached, cached)
 
     def loss_fn(unet_params, frozen, batch, key):
         params = dict(frozen, unet=unet_params)
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        remain_loss = modules.shared_step(
-            params, batch["remain_images"], batch["remain_ids"], k1)
+        if cached:
+            if cached == "all":
+                remain_loss = modules.shared_step_cached(
+                    params, batch["remain_moments"], batch["remain_ctx"], k1)
+            else:
+                remain_loss = modules.shared_step(
+                    params, batch["remain_images"], batch["remain_ids"], k1)
+            # two independent posterior draws from the same cached moments
+            # — exactly the reference's double get_input (see below)
+            z_f = modules.latent_from_moments(batch["forget_moments"], k2)
+            z_p = modules.latent_from_moments(batch["forget_moments"], k5)
+            ctx_f, ctx_p = batch["forget_ctx"], batch["pseudo_ctx"]
+        else:
+            remain_loss = modules.shared_step(
+                params, batch["remain_images"], batch["remain_ids"], k1)
 
-        # the reference calls get_input TWICE on the same forget images
-        # (random_label.py:104-109) — two independent VAE-posterior samples
-        # feed the forget and pseudo forwards (same t and q_sample noise)
-        z_f = modules.encode_image(params, batch["forget_images"], k2)
-        z_p = modules.encode_image(params, batch["forget_images"], k5)
-        ctx_f = modules.encode_text(params, batch["forget_ids"])
-        ctx_p = modules.encode_text(params, batch["pseudo_ids"])
+            # the reference calls get_input TWICE on the same forget images
+            # (random_label.py:104-109) — two independent VAE-posterior
+            # samples feed the forget and pseudo forwards (same t and
+            # q_sample noise)
+            z_f = modules.encode_image(params, batch["forget_images"], k2)
+            z_p = modules.encode_image(params, batch["forget_images"], k5)
+            ctx_f = modules.encode_text(params, batch["forget_ids"])
+            ctx_p = modules.encode_text(params, batch["pseudo_ids"])
         t = jax.random.randint(k3, (z_f.shape[0],), 0, T)
         noise = jax.random.normal(k4, z_f.shape)
         out = modules.apply_model(params, modules.q_sample(z_f, t, noise),

@@ -40,6 +40,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 # name → (relpath, md5 | None, what-it-unlocks)
@@ -72,6 +74,34 @@ ARTIFACTS = {
                  "real CLIP tokenizer ids (sd.tokenizer)"),
     "resnet18_ckpt": ("resnet18_cifar10.pth.tar", None,
                       "skip the 182-epoch pretrain (ckpt.import_resnet)"),
+    "imagenette": ("imagenette2", None,
+                   "SD class-forgetting data (sd.data.load_imagenette "
+                   "extracted-folder layout; a local HF frgfm/imagenette "
+                   "cache also works)"),
+    "nsfw_df": ("nsfw", None,
+                "SD NSFW-removal forget set Df — 800 generated images "
+                "(SD/README.md:64-79; cli/sd_train nsfw_removal "
+                "--forget_dir)"),
+    "nsfw_dr": ("not-nsfw", None,
+                "SD NSFW-removal remain set Dr — 800 images "
+                "(cli/sd_train nsfw_removal --remain_dir)"),
+    "resnet34_imagenet": ("resnet34_imagenet.pth", None,
+                          "torchvision ImageNet ResNet-34 init for the "
+                          "DDPM classifier fine-tune (cli/ddpm_classifier "
+                          "train --init_weights; train_classifier.py:125)"),
+    "resnet34_classifier": ("cifar10_resnet34.pth", None,
+                            "the reference's fine-tuned DDPM eval "
+                            "classifier (cli/ddpm_classifier eval --ckpt "
+                            "accepts it directly; else produce one via "
+                            "`ddpm_classifier train`)"),
+    "resnet50_imagenet": ("resnet50_imagenet.pth", None,
+                          "torchvision ImageNet ResNet-50 for the SD "
+                          "accuracy eval (cli/sd_eval.py imageclassify "
+                          "--classifier_weights)"),
+    "imagenet1k": ("imagenet-1k", None,
+                   "ImageNet classification workload — an on-disk HF "
+                   "DatasetDict (datasets.save_to_disk; "
+                   "data/imagenet.py streaming + datasets.imagenet)"),
 }
 
 RECIPE = """
@@ -389,6 +419,55 @@ def _synth_imagenette(root, rng):
             Image.fromarray(arr).save(os.path.join(d, f"im_{i}.jpg"))
 
 
+def _synth_torchvision_resnet(root, arch, fname):
+    """torchvision-format ImageNet classifier .pth stand-in, written from
+    a random flax init through the export_resnet inverse mapping
+    (roundtrip-pinned by tests/test_torch_import.py)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from salun.ckpt import export_resnet
+    from salun.models import create_model
+
+    model = create_model(arch, num_classes=1000, imagenet=True)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
+    sd = {k: torch.tensor(v) for k, v in export_resnet(
+        variables["params"], variables["batch_stats"]).items()}
+    torch.save(sd, os.path.join(root, fname))
+
+
+def _synth_imagenet1k(root, rng):
+    """imagenet-1k miniature as an on-disk HF DatasetDict
+    (datasets.save_to_disk — the layout data/imagenet.py loads)."""
+    from datasets import Dataset, DatasetDict
+    from PIL import Image
+
+    def split(n):
+        return Dataset.from_dict({
+            "image": [Image.fromarray(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+                for _ in range(n)],
+            "label": [int(i % 4) for i in range(n)],
+        })
+
+    DatasetDict({"train": split(48), "validation": split(16)}).save_to_disk(
+        os.path.join(root, "imagenet-1k"))
+
+
+def _synth_nsfw_dirs(root, rng):
+    """nsfw/ and not-nsfw/ image folders (Df/Dr stand-ins for the 800+800
+    generated sets, SD/README.md:64-79)."""
+    from PIL import Image
+
+    for d in ("nsfw", "not-nsfw"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        for i in range(4):
+            arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(root, d, f"{i}.png"))
+
+
 def rehearse(root: str) -> int:
     """Full-recipe rehearsal on synthesized stand-in assets in the REAL
     file formats (VERDICT r3 #8): prove the day-one-with-assets command
@@ -423,6 +502,12 @@ def rehearse(root: str) -> int:
     leg("synth:sd_ckpt", lambda: _synth_sd_ckpt(root, sd_yaml))
     leg("synth:clip_bpe", lambda: _synth_clip_bpe(root))
     leg("synth:imagenette", lambda: _synth_imagenette(root, rng))
+    leg("synth:imagenet1k", lambda: _synth_imagenet1k(root, rng))
+    leg("synth:nsfw_dirs", lambda: _synth_nsfw_dirs(root, rng))
+    leg("synth:resnet34_imagenet", lambda: _synth_torchvision_resnet(
+        root, "resnet34", "resnet34_imagenet.pth"))
+    leg("synth:resnet50_imagenet", lambda: _synth_torchvision_resnet(
+        root, "resnet50", "resnet50_imagenet.pth"))
     os.environ["SALUN_CLIP_BPE"] = os.path.join(
         root, "bpe_simple_vocab_16e6.txt.gz")
 
@@ -449,6 +534,20 @@ def rehearse(root: str) -> int:
          "--unlearn_epochs", "1", "--batch_size", "64",
          "--num_indexes_to_replace", "45", "--save_dir",
          os.path.join(runs, "salun")]))
+
+    # ---- ImageNet miniature through the same driver path (VERDICT r4
+    # weak #7: data/imagenet.py had never executed end-to-end)
+    from salun.cli import main_forget as cli_forget
+
+    os.environ["SALUN_IMAGENET_SIZE"] = "64"
+    leg("cls:imagenet(main_forget GA)", lambda: cli_forget.main(
+        ["--dataset", "imagenet", "--arch", "resnet20s",
+         "--data", os.path.join(root, "imagenet-1k"),
+         "--unlearn", "GA", "--unlearn_lr", "0.001",
+         "--unlearn_epochs", "1", "--batch_size", "16",
+         "--decreasing_lr", "2", "--class_to_replace", "0",
+         "--num_indexes_to_replace", "8",
+         "--save_dir", os.path.join(runs, "imagenet_ga")]))
 
     # ---- DDPM chain (RECIPE step 2) — exercises load_ddpm_states +
     # import_ddpm_unet on the torch-format ckpt
@@ -486,6 +585,23 @@ def rehearse(root: str) -> int:
          "--batch_size", "8",
          "--output_csv", os.path.join(runs, "result.csv")]))
 
+    # ---- DDPM classifier chain: fine-tune from the torchvision-format
+    # ImageNet init, then probe the generated samples
+    # (train_classifier.py / classifier_evaluation.py)
+    from salun.cli import ddpm_classifier as cli_cls
+
+    clsd = os.path.join(runs, "classifier")
+    leg("ddpm:train_classifier", lambda: cli_cls.main(
+        ["train", "--dataset", "cifar10", "--data", root,
+         "--init_weights", os.path.join(root, "resnet34_imagenet.pth"),
+         "--batch_size", "8", "--epochs", "1", "--limit", "16",
+         "--save_dir", clsd]))
+    leg("ddpm:classifier_evaluation", lambda: cli_cls.main(
+        ["eval", "--sample_path", os.path.join(samples, "0"),
+         "--label_of_forgotten_class", "0",
+         "--ckpt", os.path.join(clsd, "classifier"),
+         "--save_dir", clsd]))
+
     # ---- SD chain (RECIPE step 3) — exercises the CompVis importer, the
     # real BPE loader, mask gen, the SalUn trainer, and image generation
     from salun.cli import sd_generate_images as cli_sdgen
@@ -515,12 +631,43 @@ def rehearse(root: str) -> int:
          "--save_path", os.path.join(runs, "sd_eval"),
          "--image_size", "64", "--ddim_steps", "4", "--num_samples", "1"]))
 
+    # ---- SD eval chain (VERDICT r4 #6): generated images →
+    # imageclassify (torchvision-format ResNet-50 stand-in) → compute_fid
+    # → nudenet CSV pipeline with a stub detector
+    from salun.cli import sd_eval as cli_sdeval
+
+    leg("sd:imageclassify", lambda: cli_sdeval.main(
+        ["imageclassify", "--folder_path", os.path.join(runs, "sd_eval"),
+         "--prompts_path", prompts,
+         "--classifier_weights", os.path.join(root, "resnet50_imagenet.pth"),
+         "--save_path", os.path.join(runs, "sd_classify.csv"),
+         "--batch_size", "4"]))
+    leg("sd:compute_fid", lambda: cli_sdeval.main(
+        ["compute_fid",
+         os.path.join(root, "imagenette2", "train", "n00000001"),
+         os.path.join(runs, "sd_eval"),
+         "--inception_weights",
+         os.path.join(root, "pt_inception-2015-12-05-6726825d.pth"),
+         "--batch_size", "4"]))
+
+    class _StubDetector:
+        def detect(self, image):
+            return [{"class": "EXPOSED_BELLY", "score": 0.9}]
+
+    import glob as _glob
+
+    leg("sd:nudenet(stub)", lambda: cli_sdeval.detect_nude_classes(
+        _glob.glob(os.path.join(runs, "sd_eval", "*.png")), prompts,
+        os.path.join(runs, "sd_nudenet.csv"), 0.0,
+        detector=_StubDetector()))
+
     print(f"\nrehearsal PASSED — {len(legs)} legs in "
           f"{time.time() - t0:.0f}s (assets under {root})")
     for name, dt in legs:
         print(f"  {name:<32} {dt:>7.1f}s")
-    print("\nNOT rehearsed (needs real third-party weights): torchvision "
-          "ResNet-50 for sd_eval imageclassify; NudeNet detector.")
+    print("\nNOT rehearsed (needs the real packages/weights): the NudeNet "
+          "detector itself (stub-driven here) and real torchvision "
+          "accuracy numbers (classifier weights are random stand-ins).")
     return 0
 
 

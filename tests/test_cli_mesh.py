@@ -228,3 +228,101 @@ def test_dp_flag_rejects_oversized_mesh():
 
     with pytest.raises(ValueError):
         dist_ctx.mesh_from_flags(dp=1024)
+
+
+def test_constrain_batch_semantics():
+    """constrain_batch: no-op without a mesh; shards divisible batch dims
+    over the data axis; leaves non-divisible dims alone."""
+    import jax.numpy as jnp
+
+    from salun.dist import context as dist_ctx
+    from salun.dist.mesh import make_mesh
+
+    x = jnp.arange(16.0).reshape(8, 2)
+    assert dist_ctx.constrain_batch(x) is x
+    mesh = make_mesh(data=8, model=1)
+    with dist_ctx.activate(mesh):
+        y = dist_ctx.constrain_batch(x)
+        assert len(y.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+        odd = jnp.zeros((7, 2))
+        assert dist_ctx.constrain_batch(odd) is odd
+
+
+@pytest.mark.slow  # CPU-mesh CLI run ×2 (VERDICT r4 #4: sharded sampling)
+def test_ddpm_sample_dp8_matches_single_device(tmp_path):
+    """ddpm_sample --dp 8 == single device per seed: the FID-sampling CLI
+    (the eval cost center — the reference fans it over 2 GPUs via
+    DataParallel, runners/diffusion.py:773-824) shards the reverse chain's
+    batch over the mesh without changing the samples."""
+    from PIL import Image
+
+    from salun import ckpt
+    from salun.cli.ddpm_config import load_config
+    from salun.cli.ddpm_sample import main
+    from salun.diffusion.runner import DDPMRunner
+
+    cfg = tmp_path / "tiny.yml"
+    cfg.write_text(DDPM_TINY_YML)
+    bundle = load_config(str(cfg))
+    runner = DDPMRunner(bundle.unet, bundle.schedule, bundle.train)
+    params = runner.init(jax.random.PRNGKey(7))
+    ckpt.save(str(tmp_path / "run" / "ckpt"), {"params": params})
+
+    base = ["--config", str(cfg), "--mode", "sample_fid",
+            "--ckpt_folder", str(tmp_path / "run"),
+            "--n_samples_per_class", "8", "--batch", "8",
+            "--classes", "0", "--timesteps", "5"]
+    main(base + ["--save_dir", str(tmp_path / "one")])
+    main(base + ["--dp", "8", "--save_dir", str(tmp_path / "mesh")])
+
+    for i in range(8):
+        a = np.asarray(Image.open(tmp_path / "one" / "0" / f"{i}.png"),
+                       np.int16)
+        b = np.asarray(Image.open(tmp_path / "mesh" / "0" / f"{i}.png"),
+                       np.int16)
+        # same chain math; only GSPMD reduction layout differs → at most
+        # off-by-one after uint8 quantization
+        assert np.abs(a - b).max() <= 1, i
+
+
+@pytest.mark.slow  # CPU-mesh CLI run ×2 with full-size CLIP init
+def test_sd_generate_images_dp2_matches_single_device(tmp_path):
+    """sd_generate_images --dp 2: prompt rows grouped into one sharded
+    sampling call, each row keeping its own evaluation_seed latents, must
+    write the same images as the per-row single-device path."""
+    import yaml
+    from PIL import Image
+
+    from salun.cli.sd_generate_images import main
+
+    yaml_path = os.path.join(os.path.dirname(__file__), os.pardir,
+                             "configs", "sd", "v1-inference.yaml")
+    with open(yaml_path) as f:
+        v1 = yaml.safe_load(f)
+    p = v1["model"]["params"]
+    p["timesteps"] = 8
+    u = p["unet_config"]["params"]
+    u.update(model_channels=32, num_res_blocks=1, channel_mult=[1, 2],
+             num_heads=2, attention_resolutions=[1, 2])
+    d = p["first_stage_config"]["params"]["ddconfig"]
+    d.update(ch=32, ch_mult=[1, 1, 1, 1], num_res_blocks=1)
+    cfg_path = tmp_path / "tiny-sd.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(v1, f)
+
+    csv_path = tmp_path / "prompts.csv"
+    csv_path.write_text("case_number,prompt,evaluation_seed\n"
+                        "0,a photo of a tench,11\n"
+                        "1,a photo of a church,22\n")
+
+    base = ["--prompts_path", str(csv_path), "--config", str(cfg_path),
+            "--image_size", "64", "--ddim_steps", "4", "--num_samples", "1"]
+    main(base + ["--save_path", str(tmp_path / "one")])
+    # num_samples 1, dp 2 → rows_per_call 2: both rows in one sharded call
+    main(base + ["--dp", "2", "--save_path", str(tmp_path / "mesh")])
+
+    for name in ("0_0.png", "1_0.png"):
+        a = np.asarray(Image.open(tmp_path / "one" / name), np.int16)
+        b = np.asarray(Image.open(tmp_path / "mesh" / name), np.int16)
+        assert np.abs(a - b).max() <= 1, name

@@ -115,6 +115,46 @@ def test_random_label_step_runs(modules, params):
             assert "attn2" in k, k
 
 
+def test_cached_step_matches_uncached(modules, params):
+    """The cached-moments random_label step (VAE posterior moments + CLIP
+    contexts precomputed once) must reproduce the uncached step's loss and
+    parameter update to float rounding — the caching is an algebraic
+    rewrite of the reference's per-step frozen-stage recompute
+    (ldm/models/diffusion/ddpm.py:913-973), not an approximation."""
+    from salun.sd.trainers import make_cache_batch_fn
+    import optax
+
+    batch = {
+        "remain_images": jax.random.uniform(jax.random.PRNGKey(11),
+                                            (2, IMG, IMG, 3)) * 2 - 1,
+        "remain_ids": jnp.zeros((2, 8), jnp.int32),
+        "forget_images": jax.random.uniform(jax.random.PRNGKey(12),
+                                            (2, IMG, IMG, 3)) * 2 - 1,
+        "forget_ids": jnp.ones((2, 8), jnp.int32),
+        "pseudo_ids": 2 * jnp.ones((2, 8), jnp.int32),
+    }
+    key = jax.random.PRNGKey(13)
+    results = {}
+    for cached in (False, "all", "forget"):
+        tx = optax.sgd(1e-3)
+        step = make_random_label_step(modules, tx, alpha=0.5, cached=cached)
+        carry = (jax.tree.map(jnp.copy, params["unet"]),
+                 tx.init(params["unet"]))
+        b = (make_cache_batch_fn(modules, cached)(params, batch)
+             if cached else batch)
+        # the "all" mode touches no frozen stage at all inside the step
+        frozen = {} if cached == "all" else params
+        (unet, _), loss = step(carry, frozen, b, key)
+        results[cached] = (unet, float(loss))
+    for mode in ("all", "forget"):
+        np.testing.assert_allclose(results[mode][1], results[False][1],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(results[False][0]),
+                        jax.tree.leaves(results[mode][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_generate_mask_sd(modules, params):
     imgs = (np.random.RandomState(0).rand(4, IMG, IMG, 3) * 2 - 1).astype(
         np.float32)

@@ -129,3 +129,27 @@ def test_ddpm_unet_export_import_roundtrip():
         assert ka == kb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(ka))
+
+
+def test_resnet_export_import_roundtrip():
+    """export_resnet → import_resnet reproduces the flax trees bit-for-bit
+    (the writer the preflight rehearsal uses to synthesize
+    torchvision-format classifier stand-ins for cli/sd_eval imageclassify
+    and cli/ddpm_classifier eval)."""
+    from salun.ckpt import export_resnet
+
+    model = create_model("resnet18", num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    sd = {k: torch.tensor(v) for k, v in export_resnet(params, stats).items()}
+    back_p, back_s = import_resnet(sd)
+    for tree, back in ((params, back_p), (stats, back_s)):
+        pa = sorted(jax.tree_util.tree_leaves_with_path(tree),
+                    key=lambda kv: str(kv[0]))
+        pb = sorted(jax.tree_util.tree_leaves_with_path(back),
+                    key=lambda kv: str(kv[0]))
+        assert [str(k) for k, _ in pa] == [str(k) for k, _ in pb]
+        for (ka, a), (_, b) in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(ka))
