@@ -60,6 +60,15 @@ def _common(p):
                         "the saliency mask over the data axis (ZeRO-3, "
                         "salun/dist/fsdp.py) — 859.5M-param SD v1 state "
                         "fits a v5e-8 comfortably only sharded")
+    p.add_argument("--cache_vae_moments", action="store_true",
+                   help="precompute the forget set's VAE posterior "
+                        "moments + prompt CLIP contexts once and skip the "
+                        "per-step frozen-stage re-encodes (the reference "
+                        "re-encodes each Df image 10x over the 5-epoch "
+                        "recipe, ddpm.py:913-973). Numerically equal to "
+                        "the default path (tests/test_sd.py); off by "
+                        "default for strict recompute parity. "
+                        "random_label/proximal/nsfw_removal only.")
 
 
 def parse_args(argv=None):
@@ -197,6 +206,24 @@ def _main(args, mesh):
         make_sd_optimizer(unet0, args.lr, args.train_method), mask)
     carry = (jax.tree.map(jnp.copy, unet0), tx.init(unet0))
 
+    use_cache = (args.cache_vae_moments
+                 and args.cmd in ("random_label", "proximal",
+                                  "nsfw_removal"))
+
+    def precompute_forget_cache(forget_images_u8):
+        """One VAE pass over Df → per-image posterior moments (~64 KB/img
+        vs 10 re-encodes over the 5-epoch recipe); bitwise-equal training
+        per trainers.make_random_label_step(cached='forget')."""
+        enc = jax.jit(
+            lambda imgs: modules.encode_image_moments(params, imgs))
+        means, logvars = [], []
+        for i in range(0, len(forget_images_u8), args.batch_size):
+            m, lv = enc(jnp.asarray(
+                sd_data.to_pm1(forget_images_u8[i:i + args.batch_size])))
+            means.append(np.asarray(m))
+            logvars.append(np.asarray(lv))
+        return np.concatenate(means), np.concatenate(logvars)
+
     if args.cmd in ("random_label", "gradient_ascent", "proximal"):
         ds = sd_data.load_imagenette(args.data, args.image_size)
         forget, remain = sd_data.forget_remain_split(ds, args.class_to_forget)
@@ -204,7 +231,14 @@ def _main(args, mesh):
         step_maker = (make_gradient_ascent_step
                       if args.cmd == "gradient_ascent"
                       else make_random_label_step)
-        step = step_maker(modules, tx, alpha=args.alpha)
+        if use_cache:
+            step = make_random_label_step(modules, tx, alpha=args.alpha,
+                                          cached="forget")
+            f_mean, f_logvar = precompute_forget_cache(forget.data)
+            ctx_table = np.asarray(modules.encode_text(
+                params, jnp.asarray(tokenize(list(sd_data.DESCRIPTIONS)))))
+        else:
+            step = step_maker(modules, tx, alpha=args.alpha)
         theta_init = (jax.tree.map(jnp.copy, carry[0])
                       if args.cmd == "proximal" else None)
         # the reference's ratio schedule counts the WHOLE model's params
@@ -227,16 +261,27 @@ def _main(args, mesh):
                     continue
                 f_lab = forget.targets[fi]
                 r_lab = remain.targets[ri]
-                batch = dist_ctx.ingest({
-                    "forget_images": sd_data.to_pm1(forget.data[fi]),
-                    "remain_images": sd_data.to_pm1(remain.data[ri]),
-                    "forget_ids": tokenize(
-                        [sd_data.DESCRIPTIONS[c] for c in f_lab]),
-                    "pseudo_ids": tokenize(
-                        [sd_data.DESCRIPTIONS[pseudo_cls]] * len(fi)),
-                    "remain_ids": tokenize(
-                        [sd_data.DESCRIPTIONS[c] for c in r_lab]),
-                })
+                if use_cache:
+                    batch = dist_ctx.ingest({
+                        "forget_moments": (f_mean[fi], f_logvar[fi]),
+                        "forget_ctx": ctx_table[f_lab],
+                        "pseudo_ctx": ctx_table[
+                            np.full(len(fi), pseudo_cls)],
+                        "remain_images": sd_data.to_pm1(remain.data[ri]),
+                        "remain_ids": tokenize(
+                            [sd_data.DESCRIPTIONS[c] for c in r_lab]),
+                    })
+                else:
+                    batch = dist_ctx.ingest({
+                        "forget_images": sd_data.to_pm1(forget.data[fi]),
+                        "remain_images": sd_data.to_pm1(remain.data[ri]),
+                        "forget_ids": tokenize(
+                            [sd_data.DESCRIPTIONS[c] for c in f_lab]),
+                        "pseudo_ids": tokenize(
+                            [sd_data.DESCRIPTIONS[pseudo_cls]] * len(fi)),
+                        "remain_ids": tokenize(
+                            [sd_data.DESCRIPTIONS[c] for c in r_lab]),
+                    })
                 key, sub = jax.random.split(key)
                 carry, loss = step(carry, params, batch, sub)
                 if args.cmd == "proximal":
@@ -250,9 +295,16 @@ def _main(args, mesh):
     elif args.cmd == "nsfw_removal":
         forget_ds = sd_data.load_image_folder(args.forget_dir, args.image_size)
         remain_ds = sd_data.load_image_folder(args.remain_dir, args.image_size)
-        step = make_random_label_step(modules, tx, alpha=args.alpha)
+        step = make_random_label_step(modules, tx, alpha=args.alpha,
+                                      cached="forget" if use_cache else False)
         ids_nude = tokenize([sd_data.WORD_NUDE] * args.batch_size)
         ids_wear = tokenize([sd_data.WORD_WEAR] * args.batch_size)
+        if use_cache:
+            f_mean, f_logvar = precompute_forget_cache(forget_ds.data)
+            ctx_nude = np.asarray(modules.encode_text(
+                params, jnp.asarray(ids_nude)))
+            ctx_wear = np.asarray(modules.encode_text(
+                params, jnp.asarray(ids_wear)))
         rng = np.random.RandomState(args.seed)
         for epoch in range(args.epochs):
             order_f = rng.permutation(len(forget_ds))
@@ -262,13 +314,22 @@ def _main(args, mesh):
                 ri = order_r[(i * args.batch_size) % len(remain_ds):][:args.batch_size]
                 if len(ri) < args.batch_size:
                     continue
-                batch = dist_ctx.ingest({
-                    "forget_images": sd_data.to_pm1(forget_ds.data[fi]),
-                    "remain_images": sd_data.to_pm1(remain_ds.data[ri]),
-                    "forget_ids": ids_nude,
-                    "pseudo_ids": ids_wear,
-                    "remain_ids": ids_wear,
-                })
+                if use_cache:
+                    batch = dist_ctx.ingest({
+                        "forget_moments": (f_mean[fi], f_logvar[fi]),
+                        "forget_ctx": ctx_nude[:len(fi)],
+                        "pseudo_ctx": ctx_wear[:len(fi)],
+                        "remain_images": sd_data.to_pm1(remain_ds.data[ri]),
+                        "remain_ids": ids_wear,
+                    })
+                else:
+                    batch = dist_ctx.ingest({
+                        "forget_images": sd_data.to_pm1(forget_ds.data[fi]),
+                        "remain_images": sd_data.to_pm1(remain_ds.data[ri]),
+                        "forget_ids": ids_nude,
+                        "pseudo_ids": ids_wear,
+                        "remain_ids": ids_wear,
+                    })
                 key, sub = jax.random.split(key)
                 carry, loss = step(carry, params, batch, sub)
             print(f"epoch {epoch} loss {float(loss):.4f}")

@@ -184,15 +184,8 @@ def test_ddpm_saliency_unlearn_dp8_matches_single_device(tmp_path):
     _tree_allclose(p1, p8, rtol=5e-3, atol=5e-5)
 
 
-@pytest.mark.slow  # full-size CLIP text encoder init on CPU, 4 CLI runs
-def test_sd_random_label_dp2_and_fsdp_match_single_device(tmp_path):
-    """sd_train random_label --dp 2 (and --dp 2 --fsdp): the SD SalUn
-    trainer through the product CLI, batch-sharded / ZeRO-3-sharded on the
-    virtual mesh, must match the single-device params."""
+def _write_tiny_sd_yaml(tmp_path):
     import yaml
-
-    from salun import ckpt as ckpt_store
-    from salun.cli.sd_train import main
 
     yaml_path = os.path.join(os.path.dirname(__file__), os.pardir,
                              "configs", "sd", "v1-inference.yaml")
@@ -208,6 +201,18 @@ def test_sd_random_label_dp2_and_fsdp_match_single_device(tmp_path):
     cfg_path = tmp_path / "tiny-sd.yaml"
     with open(cfg_path, "w") as f:
         yaml.safe_dump(v1, f)
+    return cfg_path
+
+
+@pytest.mark.slow  # full-size CLIP text encoder init on CPU, 4 CLI runs
+def test_sd_random_label_dp2_and_fsdp_match_single_device(tmp_path):
+    """sd_train random_label --dp 2 (and --dp 2 --fsdp): the SD SalUn
+    trainer through the product CLI, batch-sharded / ZeRO-3-sharded on the
+    virtual mesh, must match the single-device params."""
+    from salun import ckpt as ckpt_store
+    from salun.cli.sd_train import main
+
+    cfg_path = _write_tiny_sd_yaml(tmp_path)
 
     base = ["random_label", "--config", str(cfg_path), "--image_size", "64",
             "--batch_size", "2", "--epochs", "1", "--lr", "1e-4",
@@ -221,6 +226,26 @@ def test_sd_random_label_dp2_and_fsdp_match_single_device(tmp_path):
     p3 = ckpt_store.restore(str(tmp_path / "fsdp" / "ckpt"))["params"]["unet"]
     _tree_allclose(p1, p2, rtol=1e-4, atol=1e-5)
     _tree_allclose(p1, p3, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow  # full-size CLIP text encoder init on CPU, 2 CLI runs
+def test_sd_random_label_cache_vae_moments_matches_default(tmp_path):
+    """sd_train random_label --cache_vae_moments == the default recompute
+    path: the production flag (one VAE pass over Df + prompt-context
+    table, VERDICT r4 #3) must not change training numerics."""
+    from salun import ckpt as ckpt_store
+    from salun.cli.sd_train import main
+
+    cfg_path = _write_tiny_sd_yaml(tmp_path)
+    base = ["random_label", "--config", str(cfg_path), "--image_size", "64",
+            "--batch_size", "2", "--epochs", "1", "--lr", "1e-4",
+            "--class_to_forget", "0", "--train_method", "full"]
+    main(base + ["--save_dir", str(tmp_path / "plain")])
+    main(base + ["--cache_vae_moments", "--save_dir", str(tmp_path / "cached")])
+
+    p1 = ckpt_store.restore(str(tmp_path / "plain" / "ckpt"))["params"]["unet"]
+    p2 = ckpt_store.restore(str(tmp_path / "cached" / "ckpt"))["params"]["unet"]
+    _tree_allclose(p1, p2, rtol=1e-4, atol=1e-5)
 
 
 def test_dp_flag_rejects_oversized_mesh():
