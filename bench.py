@@ -610,8 +610,8 @@ def bench_salun_chain(maskgen_s):
 
 
 def bench_sd():
-    """The third workload at the true v1-inference shape, at the RECIPE
-    batch size 8 (random_label.py:236) — VERDICT r4 #1/#2/#3.
+    """The third workload at the true v1-inference shape — VERDICT r4
+    #1/#2/#3.
 
     Three metrics (stderr):
     - ``sd_v1_random_label_step``: the composed step with strict per-step
@@ -619,27 +619,35 @@ def bench_sd():
       (remain + forget + the pseudo resample), three CLIP text encodes,
       three 859.5M-param U-Net passes at latent 64² (remain fwd+bwd,
       forget fwd+bwd, pseudo fwd), grad×saliency-mask, Adam — ONE jitted
-      step, bf16 compute.
+      step, bf16 compute, block remat (the reference's own
+      use_checkpoint: True).
     - ``sd_v1_random_label_step_cached``: the production cached-moments
       mode (trainers.make_random_label_step(cached="forget")): the
       deterministic frozen-stage recomputes collapse to posterior draws;
       numerics pinned equal by tests/test_sd.py.
     - ``sd_salun_chain``: the SD north-star — mask-gen over the Df-sized
-      forget class + the 5-epoch recipe (SD/README.md:25: bs 8, Adam
-      1e-5, α 0.5, mask 0.5; Df ≈ 952 Imagenette-class images → 119
-      mask batches + 595 unlearn steps) as ONE wall-clock, extrapolated
-      from steady-state measurements (per-batch mask-gen slope, per-step
-      scan timing; every measured term is in the log line).
+      forget class + the 5-epoch recipe (SD/README.md:25: Adam 1e-5,
+      α 0.5, mask 0.5; Df ≈ 952 Imagenette-class images = 4,760 unlearn
+      image-steps + 119 mask batches), extrapolated PER IMAGE from
+      steady-state measurements (every measured term is in the log line).
+
+    Batch size: the recipe's bs 8 (random_label.py:236) does NOT fit one
+    16 GB v5e with faithful f32 Adam semantics — the r5 HBM matrix
+    (measured compile reports): bs 8 remat 21.8 GB, bs 4 remat 16.07 GB,
+    bs 2 remat 13.7+2.9 GB = fits, vs the chip's 15.75 GB. At-recipe
+    batches run sharded (cli --dp/--fsdp; dryrun-validated); this bench
+    measures the largest faithful single-chip config (bs 2) and accounts
+    the chain per image, stating so. The v5e-8 projection in the log is
+    vs × 8 (the chain is data-parallel; per-chip bs 1 under FSDP).
 
     A100 baseline: as the DDPM headline — the reference runs eager fp32
     torch (no autocast anywhere), granted 30% MFU of the 156 TFLOP/s TF32
-    peak on the UNCACHED step's XLA-counted FLOPs (the program the
-    reference actually executes every step); mask-gen/precompute FLOPs are
-    excluded from the baseline while their wall-clock is included in ours
-    (conservative, baseline's favor). Timing: best-of-3 calls of a
-    3-iteration in-graph lax.scan with a carried data dependency (ADVICE
-    r3). Falls back to mask=None and then to smaller batches on OOM
-    (859.5M params + Adam moments + mask is HBM-tight on a 16 GB v5e)."""
+    peak on the UNCACHED step's XLA-counted FLOPs per image (the work the
+    reference executes per image, including its own checkpointing
+    recompute); mask-gen/precompute FLOPs are excluded from the baseline
+    while their wall-clock is included in ours (conservative, baseline's
+    favor). Timing: best-of-3 calls of a 3-iteration in-graph lax.scan
+    with a carried data dependency (ADVICE r3)."""
     _log({"phase": "sd_start"})
     import optax
 
@@ -653,22 +661,30 @@ def bench_sd():
 
     B, DF, EPOCHS = 8, 952, 5           # recipe (random_label.py:236,239)
     MASK_BATCHES = DF // B              # 119 (generate_mask.py, 1 epoch)
-    UNLEARN_STEPS = EPOCHS * (DF // B)  # 595
+    UNLEARN_IMAGES = EPOCHS * DF        # 4,760 forget image-steps
+    B_STEP = 2  # largest faithful single-chip batch (HBM matrix above)
 
-    modules = SDModules.create(SDUNetConfig(dtype=jnp.bfloat16),
+    # remat=True = the reference's own use_checkpoint: True training
+    # config (v1-inference.yaml:43); without it the bs-8 recipe needs
+    # 25.1 GB of HBM (measured r5) on a 15.75 GB chip
+    modules = SDModules.create(SDUNetConfig(dtype=jnp.bfloat16, remat=True),
                                VAEConfig(dtype=jnp.bfloat16),
                                CLIPTextConfig(dtype=jnp.bfloat16),
                                num_timesteps=1000)
     params = modules.init(jax.random.PRNGKey(0), image_size=64)
     # HBM discipline (16 GB v5e): the step rebuilds dict(frozen,
-    # unet=carry) itself, so the frozen dict must NOT carry a second
-    # 3.44 GB f32 U-Net — keep the pristine U-Net on the HOST and
-    # device_put a fresh trainee per config. Persistent device footprint:
-    # carry 3.44 + Adam moments 6.88 + VAE/CLIP 0.83 + bf16 mask 1.72
-    # ≈ 12.9 GB (the full-params variant is 16.3 GB and OOMs before the
-    # first activation).
-    unet_host = jax.device_get(params["unet"])
-    frozen = {"vae": params["vae"], "clip": params["clip"]}
+    # unet=carry) itself, so there is exactly ONE U-Net on device — the
+    # trainee, threaded from config to config (timing doesn't care that
+    # its values drift). r3/r4 kept a pristine copy on the HOST instead,
+    # and the 3.44 GB device_get+device_put roundtrip through the tunnel
+    # cost ~560 s (BENCH_r03.json sd_start→sd_aot_start). Persistent
+    # device footprint while stepping: carry 3.44 + Adam moments 6.88 +
+    # VAE/CLIP 0.83 + bf16 mask 1.72 ≈ 12.9 GB.
+    # frozen stages stored bf16: inference-only and already COMPUTED in
+    # bf16 (cfg.dtype); f32 storage wastes 413 MB of the 15.75 GB budget
+    frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          {"vae": params["vae"], "clip": params["clip"]})
+    unet_live = [params["unet"]]  # single-slot box threaded through runs
     del params
 
     @jax.jit
@@ -676,8 +692,9 @@ def bench_sd():
         sal = jax.tree.map(
             lambda p: jnp.abs(jax.random.normal(
                 jax.random.PRNGKey(1), p.shape)), unet_params)
-        # bf16 mask: 0/1 values are exact, halves the 3.4 GB f32 footprint
-        return jax.tree.map(lambda m: m.astype(jnp.bfloat16),
+        # int8 mask: 0/1 values are exact (mask_grads casts at use) and
+        # the 860M-entry mask drops from 3.4 GB f32 to 0.86 GB
+        return jax.tree.map(lambda m: m.astype(jnp.int8),
                             threshold_mask(sal, 0.5))
 
     rng = np.random.RandomState(0)
@@ -697,10 +714,11 @@ def bench_sd():
 
     def run_cfg(b, use_mask, cached):
         """Returns (best_s_per_step, flops_per_step, extra_cache_s)."""
-        unet0 = jax.device_put(unet_host)
+        unet0 = unet_live.pop()
         mask = _mk_mask(unet0) if use_mask else None
         tx = with_mask(optax.adam(1e-5), mask)
         carry = (unet0, tx.init(unet0))
+        del unet0
         step = make_random_label_step(modules, tx, alpha=0.5,
                                       cached=cached or False)
         batch = make_batch(b)
@@ -715,9 +733,13 @@ def bench_sd():
             cache_s = time.perf_counter() - t0
 
         # donate the carry: 859.5M params + Adam moments must update
-        # in place, or the un-donated copy alone overflows HBM
+        # in place, or the un-donated copy alone overflows HBM.
+        # ``frozen`` MUST be an argument, not a closure: closure-captured
+        # device arrays embed as HLO literals, and 0.83 GB of VAE/CLIP
+        # literals overflows the remote-compile request (HTTP 413 —
+        # measured r5; the tpu_bench docstring rule).
         @partial(jax.jit, donate_argnums=0)
-        def run(carry, batch, key):
+        def run(carry, frozen, batch, key):
             def body(c, k):
                 c, loss = step(c, frozen, batch, k)
                 return c, loss
@@ -728,16 +750,20 @@ def bench_sd():
 
         _log({"phase": f"sd_aot_b{b}_mask{int(use_mask)}_"
                        f"cached{cached or 0}"})
-        crun, flops = _aot(run, carry, batch, jax.random.PRNGKey(1))
-        carry, loss = crun(carry, batch, jax.random.PRNGKey(2))  # warm
+        crun, flops = _aot(run, carry, frozen, batch, jax.random.PRNGKey(1))
+        carry, loss = crun(carry, frozen, batch,
+                           jax.random.PRNGKey(2))  # warm
         float(loss)
         best = None
         for rep in range(3):                       # best-of-3 (ADVICE r3)
             t0 = time.perf_counter()
-            carry, loss = crun(carry, batch, jax.random.PRNGKey(3 + rep))
+            carry, loss = crun(carry, frozen, batch,
+                               jax.random.PRNGKey(3 + rep))
             float(loss)
             dt = (time.perf_counter() - t0) / iters
             best = dt if best is None else min(best, dt)
+        unet_live.append(carry[0])  # hand the trainee to the next config
+        del carry
         flops_step = flops / iters if flops else 0.0
         baseline_s = (flops_step / (A100_TF32_PEAK * A100_ASSUMED_MFU)
                       if flops_step else None)
@@ -754,9 +780,18 @@ def bench_sd():
               **({"cache_batch_s": round(cache_s, 3)} if cache_s else {})})
         return best, flops_step, cache_s
 
-    # ---- at-recipe step, uncached (strict reference semantics)
+    def _ensure_live():
+        """A failed (donated) run loses the trainee; re-init on device."""
+        if not unet_live:
+            unet_live.append(
+                modules.init(jax.random.PRNGKey(0), image_size=64)["unet"])
+
+    # ---- step, uncached (strict reference semantics). Ladder starts at
+    # the MEASURED largest faithful single-chip config — bs 4/8 are known
+    # OOM (HBM matrix in the docstring), so no compile time is burned
+    # rediscovering that.
     step_unc = flops_unc = None
-    for b, use_mask in ((B, True), (B, False), (4, True), (1, True)):
+    for b, use_mask in ((B_STEP, True), (1, True), (1, False)):
         try:
             step_unc, flops_unc, _ = run_cfg(b, use_mask, False)
             b_used, masked_used = b, use_mask
@@ -764,21 +799,21 @@ def bench_sd():
         except Exception as e:
             _log({"sd_bench_oom_or_error": repr(e), "batch": b,
                   "masked": use_mask})
+            _ensure_live()
     if step_unc is None:
         return None
 
-    # ---- at-recipe step, cached-moments production mode
+    # ---- step, cached-moments production mode
     step_c = cache_s = None
     if not _over_budget("sd_cached_step"):
         try:
             step_c, _, cache_s = run_cfg(b_used, masked_used, "forget")
         except Exception as e:
             _log({"sd_cached_error": repr(e)})
+            _ensure_live()
 
     vs_step = (flops_unc / (A100_TF32_PEAK * A100_ASSUMED_MFU)
                / step_unc if flops_unc else None)
-    if b_used != B:
-        return vs_step  # below-recipe fallback: no chain extrapolation
 
     # ---- mask-gen per-batch slope (sd_generate_mask runs the real
     # accumulation program + the 860M-param threshold sweep; two sizes
@@ -788,18 +823,26 @@ def bench_sd():
     mask_s_119 = None
     try:
         imgs = (rng.rand(48, 512, 512, 3).astype(np.float32) * 2 - 1)
-        prompts = ["an image of a tench"] * 48
+        # synthetic token ids: the real CLIP BPE is asset-gated
+        # (zero-egress); ids bypass the tokenizer without changing the
+        # measured programs
+        ids = rng.randint(0, 49408, (48, 77))
+        nul = rng.randint(0, 49408, (48, 77))
         key = jax.random.PRNGKey(5)
-        params_full = dict(frozen, unet=jax.device_put(unet_host))
-        sd_generate_mask(modules, params_full, imgs[:16], prompts[:16],
-                         key, batch_size=B)                # warm programs
+        _ensure_live()
+        params_full = dict(frozen, unet=unet_live[-1])
+
+        def mg(n):
+            sd_generate_mask(modules, params_full, imgs[:n], None, key,
+                             batch_size=B, prompt_ids=ids[:n],
+                             null_ids=nul[:n])
+
+        mg(16)                                             # warm programs
         t0 = time.perf_counter()
-        sd_generate_mask(modules, params_full, imgs[:16], prompts[:16],
-                         key, batch_size=B)
+        mg(16)
         t2 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sd_generate_mask(modules, params_full, imgs, prompts, key,
-                         batch_size=B)
+        mg(48)
         t6 = time.perf_counter() - t0
         per_batch = max((t6 - t2) / 4.0, 0.0)
         overhead = max(t2 - 2 * per_batch, 0.0)   # threshold sweep etc.
@@ -811,31 +854,43 @@ def bench_sd():
     except Exception as e:
         _log({"sd_maskgen_error": repr(e)})
 
-    # ---- the chain: precompute + mask-gen + 5-epoch unlearn
+    # ---- the chain: precompute + mask-gen + 5-epoch unlearn, accounted
+    # PER IMAGE (the recipe is 4,760 forget image-steps; steps run at the
+    # measured faithful batch b_used)
     if mask_s_119 is None or step_c is None:
         return vs_step
-    pre_s = (cache_s or 0.0) * MASK_BATCHES
-    unlearn_s = step_c * UNLEARN_STEPS
+    n_steps = UNLEARN_IMAGES // b_used
+    n_pre = DF // b_used
+    pre_s = (cache_s or 0.0) * n_pre
+    unlearn_s = step_c * n_steps
     chain_s = pre_s + mask_s_119 + unlearn_s
-    baseline_s = (flops_unc * UNLEARN_STEPS
+    # baseline per image = uncached-step FLOPs / b_used (the reference
+    # does the same per-image work incl. its checkpointing recompute)
+    baseline_s = (flops_unc / b_used * UNLEARN_IMAGES
                   / (A100_TF32_PEAK * A100_ASSUMED_MFU))
     vs = baseline_s / chain_s
     _log({"metric": "sd_salun_chain",
           "precompute_s": round(pre_s, 2),
           "maskgen_s": round(mask_s_119, 2),
-          "unlearn_595step_s": round(unlearn_s, 2),
+          "unlearn_s": round(unlearn_s, 2),
           "chain_s": round(chain_s, 2),
-          "flops_per_step_uncached": flops_unc,
+          "unlearn_images": UNLEARN_IMAGES,
+          "step_batch": b_used,
+          "flops_per_image_uncached": flops_unc / b_used,
           "a100_baseline_s": round(baseline_s, 2),
           "vs_baseline_per_chip": round(vs, 3),
+          "v5e8_projection": round(vs * 8, 2),
           "device": kind,
-          "derivation": f"Df={DF} bs={B}: {MASK_BATCHES} mask batches "
-                        f"(slope-extrapolated) + {UNLEARN_STEPS} cached-"
-                        f"moment steps x {round((step_c or 0)*1e3, 1)} ms "
-                        f"+ {MASK_BATCHES} moment-precompute batches; "
-                        "baseline = uncached-step FLOPs x 595 / (156e12 x "
-                        "0.30), mask-gen+precompute excluded from "
-                        "baseline"})
+          "derivation": f"Df={DF}, 5 epochs = {UNLEARN_IMAGES} image-"
+                        f"steps at bs {b_used} ({n_steps} steps x "
+                        f"{round((step_c or 0) * 1e3, 1)} ms, cached-"
+                        f"moment mode) + {MASK_BATCHES} mask batches at "
+                        f"bs {B} (slope-extrapolated) + {n_pre} moment-"
+                        "precompute batches; baseline = uncached per-"
+                        "image FLOPs x 4760 / (156e12 x 0.30); mask-gen+"
+                        "precompute excluded from baseline. v5e8_"
+                        "projection = vs x 8 (data-parallel chain; "
+                        "at-recipe bs runs sharded via --dp/--fsdp)"})
     return vs
 
 

@@ -120,16 +120,17 @@ def evaluate(args):
 
     imgs = read_images_folder(args.sample_path)
 
+    # weights as jit args, not closures (HLO-literal embedding; tpu_bench)
     @jax.jit
-    def probs_of(x):
+    def probs_of(p, s, x):
         x = _resize_batch(x)
-        out = model.apply({"params": params, "batch_stats": stats}, x,
-                          train=False)
+        out = model.apply({"params": p, "batch_stats": s}, x, train=False)
         return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
 
     probs = []
     for i in range(0, len(imgs), args.batch_size):
-        probs.append(np.asarray(probs_of(jnp.asarray(imgs[i:i + args.batch_size]))))
+        probs.append(np.asarray(probs_of(
+            params, stats, jnp.asarray(imgs[i:i + args.batch_size]))))
     probs = np.concatenate(probs)
 
     entropy = -(probs * np.log(np.maximum(probs, 1e-12))).sum(1)

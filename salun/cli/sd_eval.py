@@ -79,11 +79,15 @@ def imageclassify(args):
         with open(args.categories) as f:
             categories = [ln.rstrip("\n") for ln in f]
 
+    # params as jit args — closure capture embeds ~100 MB of ResNet-50
+    # weights as HLO literals on the TPU remote-compile path (tpu_bench)
     @jax.jit
-    def topk_of(x):
-        out = model.apply({"params": params, "batch_stats": stats}, x,
-                          train=False)
+    def _topk(p, s, x):
+        out = model.apply({"params": p, "batch_stats": s}, x, train=False)
         return jax.lax.top_k(jax.nn.softmax(out, axis=1), args.topk)
+
+    def topk_of(x):
+        return _topk(params, stats, x)
 
     names = [n for n in sorted(os.listdir(args.folder_path))
              if ".png" in n or ".jpg" in n]

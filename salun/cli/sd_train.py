@@ -60,6 +60,11 @@ def _common(p):
                         "the saliency mask over the data axis (ZeRO-3, "
                         "salun/dist/fsdp.py) — 859.5M-param SD v1 state "
                         "fits a v5e-8 comfortably only sharded")
+    p.add_argument("--remat", action="store_true",
+                   help="block-level gradient checkpointing on the U-Net "
+                        "(the reference's use_checkpoint: True; applies "
+                        "when no --config yaml sets it). Needed to fit "
+                        "the bs-8 recipe in 16 GB HBM.")
     p.add_argument("--cache_vae_moments", action="store_true",
                    help="precompute the forget set's VAE posterior "
                         "moments + prompt CLIP contexts once and skip the "
@@ -123,6 +128,9 @@ def load_params(modules: SDModules, args, key):
 
 
 def load_unet_mask(args, unet_params):
+    """Saliency mask as an int8 0/1 pytree: the 860M-entry mask costs
+    0.86 GB instead of 3.44 GB f32 in HBM (mask_grads casts at use, so
+    masking is bitwise-identical; 16 GB v5e chips need the headroom)."""
     if not args.mask_path:
         return None
     if args.mask_path.endswith((".pt", ".pth")):
@@ -139,10 +147,11 @@ def load_unet_mask(args, unet_params):
             base, leaf = name.rsplit(".", 1)
             _place(flat, map_unet_key(base), np.asarray(t.float()), leaf)
         tmpl = flatten_names(unet_params)
-        out = {k: jnp.asarray(flat[k]) if k in flat
-               else jnp.ones_like(v, jnp.float32) for k, v in tmpl.items()}
+        out = {k: jnp.asarray(flat[k]).astype(jnp.int8) if k in flat
+               else jnp.ones_like(v, jnp.int8) for k, v in tmpl.items()}
         return tree_from_flat(out)
-    return ckpt_store.restore(args.mask_path)["mask"]
+    mask = ckpt_store.restore(args.mask_path)["mask"]
+    return jax.tree.map(lambda m: jnp.asarray(m).astype(jnp.int8), mask)
 
 
 def main(argv=None):
@@ -161,11 +170,16 @@ def _main(args, mesh):
     seed_all(args.seed)
     key = jax.random.PRNGKey(args.seed)
     if getattr(args, "config", None):
+        # the yaml's use_checkpoint maps to SDUNetConfig.remat
+        # (v1-inference.yaml trains with True)
         from salun.sd.config import modules_from_yaml
 
         modules = modules_from_yaml(args.config)
     else:
-        modules = SDModules.create()
+        from salun.sd import SDUNetConfig
+
+        modules = SDModules.create(
+            SDUNetConfig(remat=getattr(args, "remat", False)))
     params = load_params(modules, args, key)
     if mesh is not None:
         params = dist_ctx.place_replicated(params, mesh)

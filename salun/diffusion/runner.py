@@ -91,7 +91,8 @@ def random_hflip(key, x):
 
 def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
                            *, grad_clip: float, thresholds=(0.5,),
-                           random_flip: bool = False, stream: bool = False):
+                           random_flip: bool = False, stream: bool = False,
+                           jit_cache: dict = None):
     """The reference's DDPM mask-gen loop (diffusion.py:959-1039), generic
     over the eps model: per batch — antithetic t, q_sample, CFG eps,
     ``loss = (e − eps)².sum(pixels).mean(batch)``, grads clipped by global
@@ -102,6 +103,10 @@ def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
     stream (deterministic parity tests, tests/test_reference_parity.py);
     ``random_flip`` reproduces the train-loader RandomHorizontalFlip the
     reference's forget loader inherits (datasets/__init__.py:34-46).
+    ``jit_cache``: caller-owned dict reusing the jitted programs across
+    calls — a fresh jit wrapper per call re-deserializes the persistent-
+    cache executable every time (~25 s for the scanned CIFAR program on
+    the remote backend; measured r5).
     """
     T = schedule.num_timesteps
 
@@ -114,7 +119,11 @@ def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
 
     clip = optax.clip_by_global_norm(grad_clip)
 
-    def acc_math(acc, batch, key):
+    # ``params`` is threaded as a jit ARGUMENT everywhere below — closure
+    # capture of a concrete param tree embeds it as HLO literals in the
+    # compiled program (the utils.tpu_bench rule; large literals hang or
+    # overflow the TPU remote-compile request)
+    def acc_math(acc, params, batch, key):
         kt, ke, kf = jax.random.split(key, 3)
         x = _img01(batch["image"])
         if random_flip:
@@ -150,22 +159,28 @@ def saliency_from_eps_loss(eps_fn, params, forget_loader, key, schedule,
             jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
                          *batches), dim=1)
 
-        @jax.jit
-        def acc_scanned(acc, stacked, key):
-            def body(carry, batch):
-                acc, k = carry
-                k, sub = jax.random.split(k)
-                return (acc_math(acc, batch, sub), k), None
+        jit_cache = jit_cache if jit_cache is not None else {}
+        if "scanned" not in jit_cache:
+            @jax.jit
+            def acc_scanned(acc, params, stacked, key):
+                def body(carry, batch):
+                    acc, k = carry
+                    k, sub = jax.random.split(k)
+                    return (acc_math(acc, params, batch, sub), k), None
 
-            (acc, _), _ = jax.lax.scan(body, (acc, key), stacked)
-            return acc
+                (acc, _), _ = jax.lax.scan(body, (acc, key), stacked)
+                return acc
 
-        acc = acc_scanned(acc, stacked, key)
+            jit_cache["scanned"] = acc_scanned
+        acc = jit_cache["scanned"](acc, params, stacked, key)
     else:
-        acc_batch = jax.jit(acc_math)
+        jit_cache = jit_cache if jit_cache is not None else {}
+        if "stream" not in jit_cache:
+            jit_cache["stream"] = jax.jit(acc_math)
+        acc_batch = jit_cache["stream"]
         for batch in batches:
             key, sub = jax.random.split(key)
-            acc = acc_batch(acc, dist_ctx.ingest(batch), sub)
+            acc = acc_batch(acc, params, dist_ctx.ingest(batch), sub)
     abs_sal = jax.tree.map(jnp.abs, acc)
     return generate_masks(abs_sal, thresholds)
 
@@ -379,10 +394,17 @@ class DDPMRunner:
             return cfg_eps(self.model, {"params": params}, xt,
                            t.astype(jnp.float32), c, cond_scale)
 
+        # runner-owned jit cache: repeat generate_mask calls reuse the
+        # compiled accumulation programs (fresh wrappers re-deserialize
+        # the persistent-cache executable per call, ~25 s on the remote
+        # backend — r5 bench finding)
+        if not hasattr(self, "_maskgen_jit_cache"):
+            self._maskgen_jit_cache = {}
         return saliency_from_eps_loss(
             eps_fn, params, forget_loader, key, self.schedule,
             grad_clip=self.cfg.grad_clip, thresholds=thresholds,
-            random_flip=self.cfg.random_flip, stream=stream)
+            random_flip=self.cfg.random_flip, stream=stream,
+            jit_cache=self._maskgen_jit_cache)
 
     # ------------------------------------------------ FIM
 

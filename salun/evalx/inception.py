@@ -260,9 +260,14 @@ def make_feature_fn(params, batch_stats, batch_size: int = 64):
     """Jitted (pool, spatial, softmax) extractor over NHWC [0,1] images."""
     model = InceptionV3()
 
+    # weights as jit args, not closures — closure capture embeds ~95 MB
+    # of Inception weights as HLO literals on the TPU remote-compile path
     @jax.jit
+    def _fn(p, s, x):
+        return model.apply({"params": p, "batch_stats": s}, x)
+
     def fn(x):
-        return model.apply({"params": params, "batch_stats": batch_stats}, x)
+        return _fn(params, batch_stats, x)
 
     def extract(images: np.ndarray):
         pools, spatials, smax = [], [], []

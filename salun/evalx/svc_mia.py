@@ -35,18 +35,19 @@ def collect_prob(model, params, batch_stats, loader):
     if loader is None:
         return None, None
 
+    # weights as jit args, not closures (HLO-literal embedding; tpu_bench)
     @jax.jit
-    def probs_of(batch):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
+    def _probs(p_, s_, batch):
+        variables = {"params": p_}
+        if s_:
+            variables["batch_stats"] = s_
         out = model.apply(variables, to_float(batch["image"]), train=False)
         return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
 
     ps, ys = [], []
     for batch in loader:
         batch = jax.tree.map(jnp.asarray, batch)
-        p = np.asarray(probs_of(batch))
+        p = np.asarray(_probs(params, batch_stats, batch))
         w = np.asarray(batch["weight"]) > 0
         ps.append(p[w])
         ys.append(np.asarray(batch["label"])[w])

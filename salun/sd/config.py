@@ -43,7 +43,6 @@ _LDM_IGNORED = {
 
 _UNET_IGNORED = {
     "image_size",        # marked 'unused' in the reference YAML itself
-    "use_checkpoint",    # superseded: flash attention + optional remat
     "legacy",            # only changes dim_head when num_head_channels set
     "use_fp16",          # dtype is a runtime choice here (cfg.dtype)
 }
@@ -99,7 +98,8 @@ def _unet_from_params(p: dict, dtype) -> SDUNetConfig:
     known = (set(_UNET_PINNED) | _UNET_IGNORED
              | {"in_channels", "out_channels", "model_channels",
                 "num_res_blocks", "attention_resolutions", "channel_mult",
-                "num_heads", "transformer_depth", "context_dim", "dropout"})
+                "num_heads", "transformer_depth", "context_dim", "dropout",
+                "use_checkpoint"})
     unknown = set(p) - known
     if unknown:
         raise ValueError(f"unet_config: unknown params {sorted(unknown)}")
@@ -114,6 +114,9 @@ def _unet_from_params(p: dict, dtype) -> SDUNetConfig:
         transformer_depth=int(p.get("transformer_depth", 1)),
         context_dim=int(p.get("context_dim", 768)),
         dropout=float(p.get("dropout", 0.0)),
+        # use_checkpoint → block-level remat (the reference trains with
+        # True, v1-inference.yaml:43; identical math, fits bs 8 in HBM)
+        remat=bool(p.get("use_checkpoint", False)),
     )
     if dtype is not None:
         kw["dtype"] = dtype

@@ -94,16 +94,21 @@ def make_sd_optimizer(unet_params, lr: float, train_method: str = "full"):
 
 def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
                      key, *, guidance: float = 7.5, batch_size: int = 4,
-                     thresholds=(0.5,)):
+                     thresholds=(0.5,), prompt_ids=None, null_ids=None):
     """Saliency over UNet params from loss = −MSE(noise, CFG eps)
-    (SD/train-scripts/generate_mask.py:34-108)."""
+    (SD/train-scripts/generate_mask.py:34-108).
+
+    ``prompt_ids``/``null_ids`` bypass the tokenizer with precomputed
+    token-id arrays (benchmarks / callers that tokenize up front)."""
     max_len = modules.clip.cfg.max_length
-    ids_c = jnp.asarray(tokenize(prompts, max_len))
-    ids_u = jnp.asarray(tokenize([""] * len(prompts), max_len))
+    ids_c = (jnp.asarray(tokenize(prompts, max_len))
+             if prompt_ids is None else jnp.asarray(prompt_ids))
+    ids_u = (jnp.asarray(tokenize([""] * len(prompts), max_len))
+             if null_ids is None else jnp.asarray(null_ids))
     T = modules.schedule.num_timesteps
 
-    def loss_fn(unet_params, z0, ctx_c, ctx_u, t, noise):
-        p = dict(params, unet=unet_params)
+    def loss_fn(unet_params, p_all, z0, ctx_c, ctx_u, t, noise):
+        p = dict(p_all, unet=unet_params)
         z_t = modules.q_sample(z0, t, noise)
         z2 = jnp.concatenate([z_t, z_t])
         t2 = jnp.concatenate([t, t])
@@ -114,15 +119,18 @@ def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
         eps = (1 + guidance) * e2[:b] - guidance * e2[b:]
         return -jnp.square(noise - eps).mean()
 
+    # ``p`` is a jit ARGUMENT — closure capture would embed the 4.3 GB
+    # param dict as HLO literals, overflowing the TPU remote-compile
+    # request (utils.tpu_bench rule; measured as HTTP 413 in r5)
     @jax.jit
-    def acc_batch(acc, imgs, idx_c, idx_u, key):
+    def acc_batch(acc, p, imgs, idx_c, idx_u, key):
         k1, k2, k3 = jax.random.split(key, 3)
-        z0 = modules.encode_image(params, imgs, k1)
-        ctx_c = modules.encode_text(params, idx_c)
-        ctx_u = modules.encode_text(params, idx_u)
+        z0 = modules.encode_image(p, imgs, k1)
+        ctx_c = modules.encode_text(p, idx_c)
+        ctx_u = modules.encode_text(p, idx_u)
         t = jax.random.randint(k2, (imgs.shape[0],), 0, T)
         noise = jax.random.normal(k3, z0.shape)
-        g = jax.grad(loss_fn)(params["unet"], z0, ctx_c, ctx_u, t, noise)
+        g = jax.grad(loss_fn)(p["unet"], p, z0, ctx_c, ctx_u, t, noise)
         return jax.tree.map(lambda a, b_: a + b_.astype(jnp.float32), acc, g)
 
     acc = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
@@ -134,10 +142,17 @@ def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
         key, sub = jax.random.split(key)
         imgs = dist_ctx.ingest(forget_images[i : i + batch_size])
         m = imgs.shape[0]
-        acc = acc_batch(acc, imgs, ids_c[i : i + m] if len(ids_c) == n
-                        else ids_c[:m], ids_u[:m], sub)
+        acc = acc_batch(acc, params, imgs,
+                        ids_c[i : i + m] if len(ids_c) == n else ids_c[:m],
+                        ids_u[:m], sub)
     abs_sal = jax.tree.map(jnp.abs, acc)
-    return generate_masks(abs_sal, thresholds)
+    masks = generate_masks(abs_sal, thresholds)
+    # int8 0/1 masks: exact (mask_grads casts at use) and the 860M-entry
+    # UNet mask costs 0.86 GB instead of 3.44 GB f32 — the f32 sweep
+    # output alongside the saliency accumulator would overflow a 16 GB
+    # chip's HBM
+    return {t: jax.tree.map(lambda m_: m_.astype(jnp.int8), m)
+            for t, m in masks.items()}
 
 
 # ----------------------------------------------------------- RL / GA

@@ -10,9 +10,11 @@ ldm/modules/attention.py:37-303).
 
 TPU-first:
 - NHWC; attention via salun.kernels (Pallas flash attention when aligned) —
-  no [N,N] score materialization, so the reference's gradient checkpointing
-  (ldm/modules/diffusionmodules/util.py:124-171) is unnecessary; jax.remat
-  can still wrap blocks for very large batches.
+  no [N,N] score materialization. The reference's block-level gradient
+  checkpointing (use_checkpoint: True, ldm/modules/diffusionmodules/
+  util.py:124-171) is available as ``SDUNetConfig.remat`` (lifted
+  nn.remat over ResBlock/SpatialTransformer; needed at the bs-8 training
+  recipe on 16 GB chips).
 - Module names mirror the CompVis state-dict layout
   (``input_blocks_4_1/transformer_blocks_0/attn2/to_k``) so checkpoint
   import (salun.sd.import_ckpt) is a mechanical rename.
@@ -62,6 +64,13 @@ class SDUNetConfig:
     context_dim: int = 768
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize ResBlocks/SpatialTransformers in the backward pass —
+    # the reference trains with exactly this (use_checkpoint: True,
+    # v1-inference.yaml:43, ldm/modules/diffusionmodules/util.py:124-171).
+    # Identical math, ~25% extra fwd FLOPs in bwd; required to fit the
+    # bs-8 recipe (three trainable 859.5M-param passes + Adam state) in
+    # 16 GB of v5e HBM.
+    remat: bool = False
 
 
 def _gn32(x, name, eps=1e-5, dtype=jnp.float32):
@@ -221,6 +230,13 @@ class SDUNet(nn.Module):
 
         heads = c.num_heads
 
+        # lifted remat preserves module names, so checkpoints are
+        # layout-identical with remat on or off
+        ResBlockM = (nn.remat(ResBlock, static_argnums=(3,)) if c.remat
+                     else ResBlock)
+        SpatialM = (nn.remat(SpatialTransformer) if c.remat
+                    else SpatialTransformer)
+
         hs = []
         h = nn.Conv(c.model_channels, (3, 3), padding=1, dtype=dt,
                     name="input_blocks_0_0")(x.astype(dt))
@@ -231,10 +247,11 @@ class SDUNet(nn.Module):
         for level, mult in enumerate(c.channel_mult):
             ch = mult * c.model_channels
             for _ in range(c.num_res_blocks):
-                h = ResBlock(ch, c.dropout, dt,
-                             name=f"input_blocks_{block_i}_0")(h, emb, train)
+                h = ResBlockM(ch, c.dropout, dt,
+                              name=f"input_blocks_{block_i}_0")(h, emb,
+                                                                train)
                 if ds in c.attention_resolutions:
-                    h = SpatialTransformer(
+                    h = SpatialM(
                         ch, heads, ch // heads, c.transformer_depth,
                         c.context_dim, dt, name=f"input_blocks_{block_i}_1",
                     )(h, context)
@@ -247,22 +264,24 @@ class SDUNet(nn.Module):
                 ds *= 2
 
         ch = c.channel_mult[-1] * c.model_channels
-        h = ResBlock(ch, c.dropout, dt, name="middle_block_0")(h, emb, train)
-        h = SpatialTransformer(ch, heads, ch // heads, c.transformer_depth,
-                               c.context_dim, dt, name="middle_block_1")(
-            h, context)
-        h = ResBlock(ch, c.dropout, dt, name="middle_block_2")(h, emb, train)
+        h = ResBlockM(ch, c.dropout, dt, name="middle_block_0")(h, emb,
+                                                                train)
+        h = SpatialM(ch, heads, ch // heads, c.transformer_depth,
+                     c.context_dim, dt, name="middle_block_1")(h, context)
+        h = ResBlockM(ch, c.dropout, dt, name="middle_block_2")(h, emb,
+                                                                train)
 
         block_i = 0
         for level, mult in reversed(list(enumerate(c.channel_mult))):
             ch = mult * c.model_channels
             for j in range(c.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(ch, c.dropout, dt,
-                             name=f"output_blocks_{block_i}_0")(h, emb, train)
+                h = ResBlockM(ch, c.dropout, dt,
+                              name=f"output_blocks_{block_i}_0")(h, emb,
+                                                                 train)
                 sub = 1
                 if ds in c.attention_resolutions:
-                    h = SpatialTransformer(
+                    h = SpatialM(
                         ch, heads, ch // heads, c.transformer_depth,
                         c.context_dim, dt,
                         name=f"output_blocks_{block_i}_1",

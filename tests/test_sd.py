@@ -332,3 +332,33 @@ def test_partial_sample_latent_stops_at_t_target(modules, params, rng):
     # z is still noisy: its std is near the marginal at t_target (≈1 for
     # eps-matched chains), NOT the fully-denoised scale
     assert float(jnp.std(z)) > 0.5
+
+
+def test_unet_remat_matches_no_remat(modules, params):
+    """SDUNetConfig.remat (the reference's use_checkpoint) must keep the
+    parameter tree layout identical (lifted nn.remat preserves names —
+    checkpoint import depends on it) and reproduce forward + gradients."""
+    from dataclasses import replace
+
+    from salun.sd import SDUNet
+
+    cfg_r = replace(TINY_UNET, remat=True)
+    m0, m1 = SDUNet(TINY_UNET), SDUNet(cfg_r)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, LATENT, LATENT, 4))
+    t = jnp.ones((2,))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 24))
+    p1 = m1.init(jax.random.PRNGKey(2), z, t, ctx)["params"]
+    p0 = m0.init(jax.random.PRNGKey(2), z, t, ctx)["params"]
+    assert (jax.tree.structure(p0) == jax.tree.structure(p1))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, z, t, ctx) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(p0)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(p0)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -11,6 +11,7 @@ import copy
 import os
 
 import pytest
+from dataclasses import replace
 import yaml
 
 from salun.sd.clip_text import CLIPTextConfig
@@ -35,7 +36,8 @@ def v1():
 
 def test_shipped_yaml_roundtrips_to_defaults(v1):
     cfg = parse_sd_config(v1)
-    assert cfg.unet == SDUNetConfig()
+    # the shipped yaml trains with use_checkpoint: true → remat=True
+    assert cfg.unet == replace(SDUNetConfig(), remat=True)
     assert cfg.vae == VAEConfig()
     assert cfg.clip == CLIPTextConfig()
     assert cfg.timesteps == 1000
@@ -46,7 +48,7 @@ def test_shipped_yaml_roundtrips_to_defaults(v1):
 
 def test_load_from_path_builds_modules():
     mods = modules_from_config(load_sd_config(YAML_PATH))
-    assert mods.unet.cfg == SDUNetConfig()
+    assert mods.unet.cfg == replace(SDUNetConfig(), remat=True)
     assert mods.scale_factor == 0.18215
     assert mods.schedule.num_timesteps == 1000
 
