@@ -860,8 +860,26 @@ def bench_sd():
     if mask_s_119 is None or step_c is None:
         return vs_step
     n_steps = UNLEARN_IMAGES // b_used
-    n_pre = DF // b_used
-    pre_s = (cache_s or 0.0) * n_pre
+    # moment-precompute measured at the production batch size 8 (VAE
+    # fwd-only fits bs 8 comfortably); 6 back-to-back calls with one
+    # final fetch amortize the per-dispatch tunnel round trip the way a
+    # real precompute loop does (FIFO device queue)
+    n_pre = MASK_BATCHES
+    try:
+        cache8 = make_cache_batch_fn(modules, "forget")
+        _ensure_live()
+        b8 = make_batch(B)
+        out = cache8(frozen, b8)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            out = cache8(frozen, b8)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        pre_s = (time.perf_counter() - t0) / 6 * n_pre
+    except Exception as e:
+        _log({"sd_cache8_error": repr(e)})
+        n_pre = DF // b_used
+        pre_s = (cache_s or 0.0) * n_pre
     unlearn_s = step_c * n_steps
     chain_s = pre_s + mask_s_119 + unlearn_s
     # baseline per image = uncached-step FLOPs / b_used (the reference
@@ -886,7 +904,8 @@ def bench_sd():
                         f"{round((step_c or 0) * 1e3, 1)} ms, cached-"
                         f"moment mode) + {MASK_BATCHES} mask batches at "
                         f"bs {B} (slope-extrapolated) + {n_pre} moment-"
-                        "precompute batches; baseline = uncached per-"
+                        "precompute batches (bs 8, amortized); baseline "
+                        "= uncached per-"
                         "image FLOPs x 4760 / (156e12 x 0.30); mask-gen+"
                         "precompute excluded from baseline. v5e8_"
                         "projection = vs x 8 (data-parallel chain; "
@@ -1032,7 +1051,9 @@ def main():
     import os
 
     global BUDGET_S
-    BUDGET_S = float(os.environ.get("SALUN_BENCH_BUDGET_S", "1650"))
+    # default sized against the driver's observed ~1800 s kill (r4 rc=124
+    # at t=1794.7): leave ~60 s of slack for the deadline re-print
+    BUDGET_S = float(os.environ.get("SALUN_BENCH_BUDGET_S", "1740"))
     watchdog, done = _arm_watchdog()
     headline = None
     ddpm = None
@@ -1065,8 +1086,8 @@ def main():
     # chain (VERDICT r4 #1b: SD had zero at-recipe data; the DDPM chain
     # already has an r4 number). Each runs in its own try/except so one
     # failure can't starve the rest.
-    def secondary(label, fn):
-        if _over_budget(label):
+    def secondary(label, fn, margin_s=250.0):
+        if _over_budget(label, margin_s=margin_s):
             return None
         try:
             return fn()
@@ -1075,11 +1096,14 @@ def main():
             return None
 
     secondary("sd", bench_sd)
+    # the corrected DDPM chain ranks above the stable step/sampling
+    # metrics (r4's chain number carried the warmup-accounting bug);
+    # ~230 s warm-cache, hence the tighter margin
+    secondary("ddpm_chain", bench_ddpm_chain, margin_s=170.0)
     ddpm = ddpm or secondary("ddpm_step", bench_ddpm_salun_step)
     secondary("ddpm_sampling", lambda: bench_ddpm_sampling(
         step_flops=ddpm.get("_flops") if ddpm else None))
     secondary("resnet_rl", bench_resnet_rl)
-    secondary("ddpm_chain", bench_ddpm_chain)
     deadline.cancel()
     # Re-print the headline LAST: the driver's artifact parses the final
     # JSON line of the combined stream (BENCH_r03.json's "parsed" field

@@ -121,8 +121,10 @@ def sd_generate_mask(modules: SDModules, params, forget_images, prompts,
 
     # ``p`` is a jit ARGUMENT — closure capture would embed the 4.3 GB
     # param dict as HLO literals, overflowing the TPU remote-compile
-    # request (utils.tpu_bench rule; measured as HTTP 413 in r5)
-    @jax.jit
+    # request (utils.tpu_bench rule; measured as HTTP 413 in r5). ``acc``
+    # is DONATED: un-donated, every batch allocates a fresh 3.44 GB f32
+    # accumulator (measured ~3.3 s/batch of allocator churn at bs 8).
+    @partial(jax.jit, donate_argnums=0)
     def acc_batch(acc, p, imgs, idx_c, idx_u, key):
         k1, k2, k3 = jax.random.split(key, 3)
         z0 = modules.encode_image(p, imgs, k1)
