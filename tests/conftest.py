@@ -103,3 +103,26 @@ def mesh8():
     from salun.dist import make_mesh
 
     return make_mesh(data=8, model=1)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _isolate_reference_sys_path():
+    """Undo reference-path leakage between test modules.
+
+    The torch-oracle parity suites put /root/reference/{DDPM,SD,
+    Classification} at the FRONT of sys.path to import the reference's
+    own modules; left in place, the reference's top-level packages
+    (``datasets``, ``models``, ``functions``, …) shadow same-named
+    site-packages for every later test in the process — e.g. HF
+    ``datasets`` resolved to reference DDPM/datasets and broke
+    test_main_forget_imagenet_miniature in full-suite runs (r5). Restore
+    sys.path and purge reference-loaded modules after each module."""
+    import sys as _sys
+
+    saved = list(_sys.path)
+    yield
+    _sys.path[:] = saved
+    for name, mod in list(_sys.modules.items()):
+        f = getattr(mod, "__file__", None) or ""
+        if f.startswith("/root/reference"):
+            del _sys.modules[name]
