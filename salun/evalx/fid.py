@@ -28,6 +28,11 @@ class FIDStatistics:
 
     @classmethod
     def from_activations(cls, acts: np.ndarray) -> "FIDStatistics":
+        if len(acts) < 2:
+            # np.cov degenerates to a 0-d array and the distance errors
+            # cryptically downstream (r5 rehearsal finding)
+            raise ValueError(
+                f"FID needs >= 2 samples per side, got {len(acts)}")
         return cls(mu=acts.mean(axis=0), sigma=np.cov(acts, rowvar=False))
 
     def frechet_distance(self, other: "FIDStatistics", eps: float = 1e-6) -> float:

@@ -624,12 +624,15 @@ def rehearse(root: str) -> int:
     prompts = os.path.join(root, "prompts_tiny.csv")
     with open(prompts, "w") as f:
         f.write("case_number,prompt,evaluation_seed\n"
-                "0,an image of a church,42\n")
+                "0,an image of a church,42\n"
+                "1,an image of a tench,7\n")
+    # num_samples 2: compute_fid needs >= 2 images per side for a
+    # non-degenerate covariance
     leg("sd:generate_images", lambda: cli_sdgen.main(
         ["--prompts_path", prompts, "--config", sd_yaml,
          "--ckpt_path", os.path.join(sunl, "ckpt"),
          "--save_path", os.path.join(runs, "sd_eval"),
-         "--image_size", "64", "--ddim_steps", "4", "--num_samples", "1"]))
+         "--image_size", "64", "--ddim_steps", "4", "--num_samples", "2"]))
 
     # ---- SD eval chain (VERDICT r4 #6): generated images →
     # imageclassify (torchvision-format ResNet-50 stand-in) → compute_fid
