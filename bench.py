@@ -1,19 +1,22 @@
 """Benchmarks for the SalUn-TPU hot paths, on the real cost centers.
 
-Headline (the ONE stdout JSON line the driver records): the DDPM
-saliency-unlearn step — the flagship workload (CIFAR-10 CFG U-Net ch=128,
-batch 128 remain + 128 forget, RL forget loss, grad clip, grad·mask, Adam —
-reference DDPM/runners/diffusion.py:519-595, configs/cifar10_saliency_
-unlearn.yml). Secondary metrics go to stderr:
+Headline (the ONE stdout JSON line the driver records): the north-star
+chain — saliency mask generation + the 10-epoch SalUn-RL unlearn
+wall-clock at the CIFAR-10 ResNet-18 README recipe (BASELINE.md;
+Classification/README.md:23,34). Secondary metrics go to stderr, in
+priority order under the elapsed-time budget:
 
-  - mask-generation wall-clock on ResNet-18 (11.2M params): saliency
-    accumulation over the 4,500-image forget set (reference recipe,
-    Classification/README.md:23) + the full 0.1–1.0 threshold sweep, with
-    the torch-CPU double-argsort sweep (generate_mask.py:50-82) measured
-    in-process for an honest algorithmic ratio;
-  - the classification masked-RL step (ResNet-18, bs 256) from round 1;
-  - the SD v1 trainer hot loop at the true 859.5M-param shape
-    (VAE-encode 512² + U-Net fwd+bwd at latent 64², bf16).
+  - the SD v1 workload at the true 859.5M-param shape: the composed
+    random_label step (strict + cached-moments modes) and the
+    ``sd_salun_chain`` 5-epoch recipe extrapolation (SD/README.md:25);
+  - the DDPM saliency chain (mask-gen + 1,000-iter unlearn,
+    configs/cifar10_saliency_unlearn.yml) and the flagship DDPM
+    unlearn step (diffusion.py:519-595);
+  - DDIM sampling throughput (the FID-eval cost center);
+  - ResNet-18 mask-gen (saliency accumulation + the full 0.1-1.0
+    threshold sweep, with the torch-CPU double-argsort sweep measured
+    in-process for an honest algorithmic ratio) and the classification
+    masked-RL step.
 
 vs_baseline derivation (documented, not hand-waved): the reference runs
 this exact step in *eager fp32* torch on A100 — no AMP anywhere in the
